@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 scripts/check_oracle.py <outDir> [sfDir]
+
+Reads each <outDir>/<name>/ parquet result (written by graft.Verify), runs the
+matching SQL from <outDir>/oracle_sql.json in DuckDB against views over the
+sfDir parquet tables, sorts columns by name and rows by all columns, and
+compares cell values. Reports per-query PASS/FAIL with first diffs.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(normcell(r[i]) for i in order))
+    out.sort(key=lambda t: tuple((v is None, str(v)) for v in t))
+    return [cols[i] for i in order], out
+
+
+def normcell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.10g}"
+    if isinstance(v, list):
+        return tuple(normcell(x) for x in v)
+    return v
+
+
+def main():
+    out_dir = Path(sys.argv[1])
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    oracle = json.loads((out_dir / "oracle_sql.json").read_text())
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    results = {}
+    for qdir in sorted(p for p in out_dir.iterdir() if p.is_dir()):
+        name = qdir.name
+        try:
+            rel = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
+            got_cols = rel.columns
+            got_rows = rel.fetchall()
+        except Exception as e:
+            results[name] = f"READ-FAIL {e}"
+            continue
+        if name not in oracle:
+            results[name] = f"NO-ORACLE rows={len(got_rows)}"
+            continue
+        try:
+            orel = con.sql(oracle[name])
+            exp_cols = orel.columns
+            exp_rows = orel.fetchall()
+        except Exception as e:
+            results[name] = f"ORACLE-FAIL {e}"
+            continue
+        gc, gr = canon(got_rows, got_cols)
+        ec, er = canon(exp_rows, exp_cols)
+        if [c.lower() for c in gc] != [c.lower() for c in ec]:
+            results[name] = f"SCHEMA-MISMATCH got={gc} exp={ec}"
+        elif gr != er:
+            diffs = [
+                (i, a, b) for i, (a, b) in enumerate(zip(gr, er)) if a != b
+            ][:3]
+            results[name] = (
+                f"VALUE-MISMATCH rows got={len(gr)} exp={len(er)} first_diffs={diffs}"
+            )
+        else:
+            results[name] = f"PASS rows={len(gr)}"
+
+    npass = sum(1 for v in results.values() if v.startswith("PASS"))
+    for k in sorted(results):
+        print(f"{'OK ' if results[k].startswith('PASS') else 'BAD'} {k}: {results[k]}")
+    print(f"\n{npass}/{len(results)} PASS")
+    sys.exit(0 if npass == len(results) else 1)
+
+
+if __name__ == "__main__":
+    main()
