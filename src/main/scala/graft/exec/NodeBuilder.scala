@@ -1,0 +1,98 @@
+package graft.exec
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.dsl.{CompileCtx, Mapping, MappingCompiler, Transformation}
+import graft.model.{C3dcSchema, PropType}
+
+/** P8: type-group collation (reference etl/target/c3dc_etl.py:1127-1187).
+  * Mappings cluster into indexed groups, one output record per group per
+  * source row; '*'-group mappings are replicated into every explicit group
+  * (prepended, without overriding fields the group maps itself); the '*'
+  * group survives only when it is the only group.
+  */
+object TypeGroups {
+  def collate(mappings: Seq[Mapping]): Seq[(String, Seq[Mapping])] = {
+    val grouped = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Mapping]]
+    for (m <- mappings; gi <- m.typeGroupIndexes)
+      grouped(gi) = grouped.getOrElse(gi, Vector.empty) :+ m
+    val sorted = grouped.toSeq.sortBy { case (k, _) =>
+      if (k == "*" || k.isEmpty) 0 else k.toInt
+    }
+    val base = sorted.collect { case (k, ms) if k == "*" || k.isEmpty => ms }.flatten
+    val nonBase = sorted.filterNot { case (k, _) => k == "*" || k.isEmpty }
+    if (nonBase.isEmpty) sorted
+    else nonBase.map { case (gi, ms) =>
+      val own = ms.map(_.outputField).toSet
+      gi -> (base.filterNot(b => own.contains(b.outputField)) ++ ms)
+    }
+  }
+}
+
+/** Builds one node type's records from a tabular source: one `select` per
+  * type group (each field a compiled Column), a required-field filter per
+  * group (P7, reference etl/target/c3dc_etl.py:1351-1373), then
+  * `unionByName`. All plan-time logic — the physical plan is a single scan
+  * per group with no shuffle.
+  */
+final class NodeBuilder(schema: C3dcSchema, xform: Transformation) {
+  private val compiler = new MappingCompiler(schema)
+
+  /** Stable ordinal of each mapping in the transformation (drives {uuid}
+    * uniqueness across fields).
+    */
+  private val ordinals: Map[Mapping, Int] = xform.mappings.zipWithIndex.toMap
+
+  /** @param rowKey natural key of each source row (audit row number or
+    *               subject id) — feeds deterministic {uuid}s
+    * @param passthrough extra columns carried through (e.g. the source
+    *                    subject id for graph linking)
+    */
+  def build(
+      node: String,
+      source: DataFrame,
+      rowKey: Column,
+      passthrough: Seq[(String, Column)] = Nil): DataFrame = {
+    val spec = schema.node(node)
+    val groups = TypeGroups.collate(xform.mappingsFor(node))
+    require(groups.nonEmpty, s"no mappings for node type $node")
+
+    val frames = groups.flatMap { case (gi, ms) =>
+      // dict-assignment semantics: last mapping for a property wins
+      val byProp = scala.collection.mutable.LinkedHashMap.empty[String, Mapping]
+      ms.foreach(m => byProp(m.property) = m)
+
+      // a required property with no mapping in this group can never be
+      // populated → the whole group yields no records (plan-time prune)
+      val unmappedRequired = spec.requiredProps.filterNot(p => byProp.contains(p) || p == "id")
+      if (unmappedRequired.nonEmpty) None
+      else {
+        val cols = byProp.toSeq.map { case (prop, m) =>
+          val ctx = CompileCtx(xform.uuidSeed, node, gi, rowKey, ordinals.getOrElse(m, 0))
+          compiler.compile(m, ctx).as(prop)
+        } ++ passthrough.map { case (n, c) => c.as(n) }
+        val projected = source.select(cols: _*)
+        Some(projected.filter(requiredPred(spec, byProp.keySet.toSet)))
+      }
+    }
+    require(frames.nonEmpty, s"no satisfiable type groups for node type $node")
+    frames.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
+  /** Required values must be non-blank; arrays non-empty with at least one
+    * non-blank element (reference etl/target/c3dc_etl.py:1358-1366).
+    */
+  private def requiredPred(
+      spec: graft.model.NodeSpec,
+      mapped: Set[String]): Column =
+    spec.requiredProps.filter(mapped.contains).map { p =>
+      val c = col("`" + p + "`")
+      spec.byName(p).typ match {
+        case PropType.ArrStr =>
+          c.isNotNull && exists(c, x => x.isNotNull && x =!= lit(""))
+        case PropType.Str => c.isNotNull && c =!= lit("")
+        case _            => c.isNotNull
+      }
+    }.reduceOption(_ && _).getOrElse(lit(true))
+}
