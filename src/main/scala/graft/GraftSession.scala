@@ -23,6 +23,10 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // the synthetic events table carries parquet TIMESTAMP(NANOS), which
+      // Spark 4 otherwise rejects; read as epoch-nanos long and let the
+      // table loader convert to a proper timestamp column
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   /** Local session for tests / Verify / Bench. */

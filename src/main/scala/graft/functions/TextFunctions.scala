@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for large-scale training-data pipelines:
+  * tokenization, shingling, fingerprints, quality signals, language ID.
+  *
+  * All pure column expressions (built-ins + higher-order functions) — no
+  * UDFs, no collect; every operator is a narrow map over the corpus and
+  * scales linearly with executors. Hash-bearing ops use the portable
+  * [[HashFunctions.h60]] so results are oracle-checkable.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empties dropped (split('\s+') leaves a leading ""
+    * for leading whitespace).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= lit(""))
+
+  /** Word n-gram shingles: array of n-token strings joined by single
+    * spaces; fewer than n tokens → empty array (sequence() would go
+    * DESCENDING for stop<start — must be guarded).
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(typedlit(Seq.empty[String]))
+
+  /** Distinct sorted shingles — the set used by Jaccard/MinHash. */
+  def shingleSet(text: Column, n: Int): Column =
+    array_sort(array_distinct(shingles(tokens(text), n)))
+
+  /** Exact content fingerprint: md5 of whitespace-normalized casefolded
+    * text (the exact-dedup key).
+    */
+  def contentFingerprint(text: Column): Column =
+    md5(array_join(tokens(lower(text)), " "))
+
+  /** Polynomial rolling hash over the token stream:
+    * fold acc = (acc * 31 + h60(tok) % M) % M, M = 1e9+7.
+    * Order-sensitive (unlike the content fingerprint) — a cheap
+    * order-preserving document signature.
+    */
+  def rollingHash(toks: Column): Column = {
+    val M = 1000000007L
+    aggregate(toks, lit(0L),
+      (acc, t) => pmod(acc * lit(31L) + pmod(HashFunctions.h60(t), lit(M)), lit(M)))
+  }
+
+  /** Token count via a BPE-ish regex: splits words, numbers, and single
+    * punctuation marks the way byte-pair pretokenizers do
+    * (letters+ | digits+ | single non-space symbol).
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(filter(
+      split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
+      t => trim(t) =!= lit("")))
+}

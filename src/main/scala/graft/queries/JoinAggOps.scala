@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.validate.GraphValidator
+import Tables.t
+
+/** Join + aggregation operators (SURVEY.md §2.5 / §2.6) over the synthetic
+  * star schema. Each query is the generic form of a reference operator:
+  * J1 id-list rollups, J2 broadcast dim joins, J5/J7 semi/anti probes,
+  * A2 duplicate-id detection, A4/A5 top-1-per-group windows, A7
+  * first-occurrence-wins dedup.
+  *
+  * Scale notes (100 TB thinking): dims are explicitly `broadcast()`; the
+  * fact-side aggregations partial-aggregate map-side before their single
+  * shuffle; windows partition by the natural key (user/order) so skew is
+  * bounded by per-key cardinality, and AQE skew-join handles hot keys.
+  */
+object JoinAggOps {
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  def qs: Seq[Q] = Seq(
+    Q(
+      "j1_rollup_ids",
+      (s, dir) => {
+        // A1/J1: parent accumulates sorted child-id list (GraphLinker shape:
+        // one shuffle, map-side combined; left join keeps childless parents)
+        val rollup = t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(
+            sort_array(collect_list(col("o_orderkey"))).as("order_ids"),
+            count(lit(1)).as("n_orders"))
+        t(s, dir, "customer")
+          .join(rollup, col("c_custkey") === col("o_custkey"), "left")
+          .select(
+            col("c_custkey"),
+            col("c_name"),
+            coalesce(col("order_ids"), typedlit(Seq.empty[Long])).as("order_ids"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      },
+      Some("""SELECT c_custkey, c_name,
+              COALESCE(r.order_ids, CAST([] AS BIGINT[])) AS order_ids,
+              COALESCE(r.n_orders, 0) AS n_orders
+              FROM customer
+              LEFT JOIN (SELECT o_custkey,
+                         list(o_orderkey ORDER BY o_orderkey) AS order_ids,
+                         count(*) AS n_orders
+                         FROM orders GROUP BY o_custkey) r
+              ON c_custkey = o_custkey"""),
+      doc = "A1/J1: per-parent sorted child-id rollup with childless parents kept"),
+
+    Q(
+      "j2_broadcast_enrich",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("p_brand"), col("s_name"))
+          .agg(
+            sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n_lines")),
+      Some("""SELECT p_brand, s_name,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+              COUNT(*) AS n_lines
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              GROUP BY p_brand, s_name"""),
+      doc = "J2/J4: fact enriched via two broadcast dimension joins"),
+
+    Q(
+      "j5_semi_probe",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(
+            t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+              WHERE EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey AND o_orderstatus = 'F')"""),
+      doc = "J5/J7: left-semi membership probe"),
+
+    Q(
+      "j7_anti_orphans",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name")),
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""),
+      doc = "J7/A9: anti-join referential orphan check (GraphValidator shape)"),
+
+    Q(
+      "a2_duplicate_ids",
+      (s, dir) =>
+        GraphValidator.duplicateIds(t(s, dir, "lineitem"), "l_orderkey")
+          .orderBy(col("id")),
+      Some("""SELECT l_orderkey AS id, count(*) AS occurrences
+              FROM lineitem GROUP BY 1 HAVING count(*) > 1"""),
+      doc = "A2: duplicate-id detection via graft.validate.GraphValidator"),
+
+    Q(
+      "a4_latest_per_group",
+      (s, dir) => {
+        // A4/A5: top-1-per-group with priority semantics (latest-survival /
+        // primary-follow-up): any 'error' event wins with the EARLIEST ts,
+        // else the LATEST event overall; event_id breaks ties.
+        val e = t(s, dir, "events")
+        val prio = when(col("event_type") === "error", lit(0)).otherwise(lit(1))
+        val tsOrd = when(prio === 0, unix_micros(col("ts")))
+          .otherwise(-unix_micros(col("ts")))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(prio, tsOrd, col("event_id"))
+        e.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(
+            col("user_id"), col("event_id"), col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"))
+      },
+      Some("""SELECT user_id, event_id, event_type,
+              strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id
+                      ORDER BY CASE WHEN event_type = 'error' THEN 0 ELSE 1 END,
+                               CASE WHEN event_type = 'error' THEN epoch_us(ts)
+                                    ELSE -epoch_us(ts) END,
+                               event_id) AS rn
+                    FROM events)
+              WHERE rn = 1"""),
+      doc = "A4/A5: priority top-1-per-group window (latest-survival semantics)"),
+
+    Q(
+      "a7_dedup_first_wins",
+      (s, dir) => {
+        // A7: cross-file dedup — two overlapping extracts, first
+        // transformation wins per content key; report per-source survivors
+        val li = t(s, dir, "lineitem")
+        val key = md5(concat_ws("|",
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity")))
+        val a = li.filter(col("l_quantity") > 25).withColumn("__src", lit("xform_a"))
+          .withColumn("__ord", lit(1))
+        val b = li.filter(col("l_quantity") > 10).withColumn("__src", lit("xform_b"))
+          .withColumn("__ord", lit(2))
+        val u = a.unionByName(b).withColumn("__key", key)
+        val w = Window.partitionBy(col("__key")).orderBy(col("__ord"))
+        u.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .groupBy(col("__src"))
+          .agg(count(lit(1)).as("survivors"))
+      },
+      Some("""WITH u AS (
+                SELECT *, 'xform_a' AS src, 1 AS ord FROM lineitem WHERE l_quantity > 25
+                UNION ALL
+                SELECT *, 'xform_b' AS src, 2 AS ord FROM lineitem WHERE l_quantity > 10),
+              k AS (SELECT src,
+                    md5(concat_ws('|', l_orderkey, l_linenumber, l_quantity)) AS key, ord
+                    FROM u),
+              r AS (SELECT src, row_number() OVER (PARTITION BY key ORDER BY ord) AS rn FROM k)
+              SELECT src AS __src, count(*) AS survivors FROM r WHERE rn = 1 GROUP BY src"""),
+      doc = "A7: first-occurrence-wins content-hash dedup across sources"),
+
+    Q(
+      "a9_behavior_audit",
+      (s, dir) => {
+        // A9: users with a 'purchase' event but no 'signup' (treatment-
+        // response-without-treatment audit shape): aggregate + anti join
+        val e = t(s, dir, "events")
+        val purchasers = e.filter(col("event_type") === "purchase")
+          .select(col("user_id")).distinct()
+        val signups = e.filter(col("event_type") === "signup")
+          .select(col("user_id")).distinct()
+        purchasers.join(signups, Seq("user_id"), "left_anti")
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT DISTINCT user_id FROM events e
+              WHERE event_type = 'purchase'
+              AND NOT EXISTS (SELECT 1 FROM events s
+                              WHERE s.user_id = e.user_id AND s.event_type = 'signup')"""),
+      doc = "A9: distinct-membership anti-join audit")
+  )
+}

@@ -14,9 +14,20 @@ final case class Q(
     doc: String = "")
 
 object Tables {
-  /** Load one synthetic table (TESTDATA.md) from the scale-factor dir. */
-  def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+  import org.apache.spark.sql.types.LongType
+
+  /** Load one synthetic table (TESTDATA.md) from the scale-factor dir.
+    * Parquet TIMESTAMP(NANOS) columns arrive as epoch-nanos longs (see
+    * GraftSession's nanosAsLong) and are converted to microsecond
+    * timestamps here — same truncation DuckDB applies.
+    */
+  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
 }
 
 /** Central query registry; SparkEntry exposes it to the driver. */

@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import Tables.t
+
+/** Pivot / unpivot / JSON-flatten / full-width-join / time-window shapes
+  * (SURVEY.md §2.8 V1–V4, J6; §2.10 time windows in batch form).
+  *
+  * Scale notes: pivots use an EXPLICIT value list (no distinct-values
+  * pre-scan job, and stable output schema); the full-width join keeps each
+  * per-type aggregate partial-aggregated before its join; the tumbling
+  * window is a plain hash aggregation over a derived bucket column —
+  * identical plan to the streaming version's state update.
+  */
+object ShapeOps {
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  def qs: Seq[Q] = Seq(
+    Q(
+      "v1_pivot_events",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(col("user_id"))
+          .pivot(col("event_type"), EventTypes)
+          .agg(sum(dec(col("value"))).cast("double"))
+          .select(col("user_id") +: EventTypes.map(e => col("`" + e + "`").as(e)): _*),
+      Some("""SELECT user_id,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'click')    AS DOUBLE) AS click,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'error')    AS DOUBLE) AS error,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'purchase') AS DOUBLE) AS purchase,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'signup')   AS DOUBLE) AS signup,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'view')     AS DOUBLE) AS view
+              FROM events GROUP BY user_id"""),
+      doc = "V1: long→wide pivot with explicit value list (no pre-scan)"),
+
+    Q(
+      "v3_unpivot_lineitem",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+            "measure", "value"),
+      Some("""SELECT l_orderkey, l_linenumber, measure, value
+              FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+                    FROM lineitem)
+              UNPIVOT (value FOR measure IN (l_quantity, l_discount, l_tax))"""),
+      doc = "V3: wide→long unpivot (mapping-sheet melt shape)"),
+
+    Q(
+      "v2_json_flatten",
+      (s, dir) =>
+        t(s, dir, "events")
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .groupBy(col("event_type"))
+          .agg(
+            sum(col("k")).as("sum_k"),
+            count(col("k")).as("n"),
+            max(col("k")).as("max_k")),
+      Some("""SELECT event_type,
+              SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+              COUNT(json_extract_string(props, '$.k')) AS n,
+              MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+              FROM events GROUP BY event_type"""),
+      doc = "V2/S5: semi-structured JSON field extraction + aggregation"),
+
+    Q(
+      "j6_full_width",
+      (s, dir) => {
+        // J6: iterative left join of per-form frames on the subject key
+        // (data_pivoter full-width sheet). Each per-type aggregate is tiny
+        // after partial aggregation; joins co-locate on user_id.
+        val e = t(s, dir, "events")
+        val base = e.select(col("user_id")).distinct()
+        EventTypes.foldLeft(base) { (acc, et) =>
+          val agg = e.filter(col("event_type") === et)
+            .groupBy(col("user_id"))
+            .agg(count(lit(1)).as(s"n_$et"))
+          acc.join(agg, Seq("user_id"), "left")
+        }.na.fill(0L, EventTypes.map(et => s"n_$et"))
+      },
+      Some("""SELECT user_id,
+              COUNT(*) FILTER (event_type = 'click')    AS n_click,
+              COUNT(*) FILTER (event_type = 'error')    AS n_error,
+              COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+              COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
+              COUNT(*) FILTER (event_type = 'view')     AS n_view
+              FROM events GROUP BY user_id"""),
+      doc = "J6: full-width iterative left join on the subject key"),
+
+    Q(
+      "w1_tumbling_window",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(
+            date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"),
+            col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(dec(col("value"))).cast("double").as("sum_value")),
+      Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+              FROM events GROUP BY 1, 2"""),
+      doc = "Tumbling time-window aggregation (batch form of the streaming op)")
+  )
+}

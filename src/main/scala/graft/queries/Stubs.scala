@@ -1,8 +1,6 @@
 package graft.queries
 
 object DslOps { def qs: Seq[Q] = Seq.empty }
-object JoinAggOps { def qs: Seq[Q] = Seq.empty }
-object ShapeOps { def qs: Seq[Q] = Seq.empty }
 object TextOps { def qs: Seq[Q] = Seq.empty }
 object DedupOps { def qs: Seq[Q] = Seq.empty }
 object SimilarityOps { def qs: Seq[Q] = Seq.empty }
