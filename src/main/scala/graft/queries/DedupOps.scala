@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.DedupFunctions._
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import Tables.t
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine — each over the `documents` /
+  * `embeddings` tables with an exact DuckDB oracle.
+  *
+  * Scale design: candidate generation is always signature-then-ONE-shuffle
+  * (band key or hash key); exact verification runs only inside buckets.
+  * No all-pairs comparison anywhere — the quadratic term is bounded by
+  * bucket size, and hot buckets are handled by AQE skew-join splitting.
+  */
+object DedupOps {
+
+  /** Distinct word-3-gram shingle set per doc (docs shorter than 3 tokens
+    * excluded — they have no shingles).
+    */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), shingleSet(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  private val ShingleCte =
+    """sh AS (
+         SELECT doc_id, list_distinct([ array_to_string(w[i:i+2], ' ')
+                  for i in range(1, greatest(len(w)-1, 1)) ]) AS sh
+         FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+               FROM documents)
+         WHERE len(w) >= 3)"""
+
+  /** Exact Jaccard between two shingle-set columns (integer sizes → one
+    * deterministic IEEE division; identical in every engine).
+    */
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+  }
+
+  def qs: Seq[Q] = Seq(
+    Q(
+      "d1_exact_dedup",
+      (s, dir) =>
+        // exact dedup: hash-groupBy on the normalized content fingerprint,
+        // min doc_id is the canonical survivor
+        t(s, dir, "documents")
+          .groupBy(contentFingerprint(col("text")).as("content_md5"))
+          .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies")),
+      Some("""SELECT md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''), ' ')) AS content_md5,
+              min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+              FROM documents GROUP BY 1"""),
+      doc = "Dedup: exact content-hash groupBy with canonical survivor"),
+
+    Q(
+      "d2_minhash_lsh",
+      (s, dir) => {
+        // MinHash(k=12) → 4 bands × 3 rows → band-key self-join →
+        // exact-Jaccard verification at 0.5. One shuffle for the band join,
+        // one for pair distinct; signatures are narrow maps.
+        val sig = shingled(s, dir)
+          .withColumn("sig", minhashSignature(col("sh"), 12))
+        val bands = sig.select(
+          col("doc_id"), col("sh"),
+          explode(minhashBandKeys(col("sig"), 4, 3)).as("band_key"))
+        val a = bands.select(col("band_key"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        val b = bands.select(col("band_key"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        a.join(b, Seq("band_key"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+          .distinct()
+          .filter(col("jaccard") >= 0.5)
+      },
+      Some(s"""WITH $ShingleCte,
+              sig AS (SELECT doc_id, sh,
+                [ list_min([ ('0x'||substr(md5(i||'|'||g),1,15))::BIGINT for g in sh ])
+                  for i in range(0,12) ] AS sig FROM sh),
+              bands AS (SELECT doc_id, sh,
+                unnest([ b || '#' || array_to_string(sig[b*3+1:b*3+3], ',')
+                         for b in range(0,4) ]) AS band_key FROM sig)
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                len(list_intersect(a.sh, b.sh))::DOUBLE /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE AS jaccard
+              FROM bands a JOIN bands b USING (band_key)
+              WHERE a.doc_id < b.doc_id
+              AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE >= 0.5"""),
+      doc = "Dedup: MinHash signatures + LSH banding + exact-Jaccard verify"),
+
+    Q(
+      "d3_simhash",
+      (s, dir) =>
+        // per-doc 60-bit SimHash over the token stream (multiplicity kept)
+        t(s, dir, "documents")
+          .withColumn("hs", transform(tokens(col("text")),
+            tk => graft.functions.HashFunctions.h60(tk)))
+          .selectExpr("doc_id", simhashSql("hs") + " AS simhash"),
+      Some("""SELECT doc_id,
+              list_sum([ CASE WHEN
+                  list_sum([ CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END
+                             for h in hs ]) > 0
+                THEN (1::BIGINT << b) ELSE 0 END
+                for b in range(0, 60) ])::BIGINT AS simhash
+              FROM (SELECT doc_id,
+                      list_transform(
+                        list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''),
+                        t -> ('0x'||substr(md5(t),1,15))::BIGINT) AS hs
+                    FROM documents)"""),
+      doc = "Dedup: 60-bit SimHash document signature (majority-vote bits)"),
+
+    Q(
+      "d4_simhash_pairs",
+      (s, dir) => {
+        // SimHash near-dup pairs at hamming <= 3 via 4 x 15-bit chunk
+        // banding: <=3 flipped bits leave at least one chunk identical
+        // (pigeonhole), so chunk equality is a lossless prefilter.
+        val sim = t(s, dir, "documents")
+          .withColumn("hs", transform(tokens(col("text")),
+            tk => graft.functions.HashFunctions.h60(tk)))
+          .selectExpr("doc_id", simhashSql("hs") + " AS simhash")
+        val chunks = sim.select(col("doc_id"), col("simhash"),
+          explode(expr(
+            "transform(sequence(0,3), c -> concat(c, '#', (shiftright(simhash, c*15) & 32767)))"
+          )).as("chunk_key"))
+        val a = chunks.select(col("chunk_key"), col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+        val bb = chunks.select(col("chunk_key"), col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+        a.join(bb, Seq("chunk_key"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 3)
+      },
+      Some("""WITH sim AS (
+                SELECT doc_id,
+                list_sum([ CASE WHEN
+                    list_sum([ CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END for h in hs ]) > 0
+                  THEN (1::BIGINT << b) ELSE 0 END for b in range(0, 60) ])::BIGINT AS simhash
+                FROM (SELECT doc_id,
+                        list_transform(
+                          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''),
+                          t -> ('0x'||substr(md5(t),1,15))::BIGINT) AS hs
+                      FROM documents)),
+              chunks AS (SELECT doc_id, simhash,
+                unnest([ c || '#' || ((simhash >> (c*15)) & 32767) for c in range(0,4) ]) AS chunk_key
+                FROM sim)
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                bit_count(xor(a.simhash, b.simhash)) AS hamming
+              FROM chunks a JOIN chunks b USING (chunk_key)
+              WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3"""),
+      doc = "Dedup: SimHash hamming<=3 pairs via lossless 15-bit chunk banding"),
+
+    Q(
+      "d5_ngram_jaccard",
+      (s, dir) => {
+        // n-gram Jaccard near-dup: docs sharing a RARE shingle (global
+        // frequency <= 20) are candidates; exact Jaccard >= 0.6 verifies.
+        // Rare-shingle filtering bounds bucket sizes the way stop-shingle
+        // removal does in production dedup.
+        val sh = shingled(s, dir)
+        val inverted = sh.select(col("doc_id"), col("sh"), explode(col("sh")).as("g"))
+        val rare = inverted.groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 20)
+        val cand = inverted.join(rare.select(col("g")), Seq("g"))
+        val a = cand.select(col("g"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        val b = cand.select(col("g"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        a.join(b, Seq("g"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+          .distinct()
+          .filter(col("jaccard") >= 0.6)
+      },
+      Some(s"""WITH $ShingleCte,
+              inv AS (SELECT doc_id, sh, unnest(sh) AS g FROM sh),
+              rare AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= 20),
+              cand AS (SELECT inv.* FROM inv JOIN rare USING (g))
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                len(list_intersect(a.sh, b.sh))::DOUBLE /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE AS jaccard
+              FROM cand a JOIN cand b USING (g)
+              WHERE a.doc_id < b.doc_id
+              AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE >= 0.6"""),
+      doc = "Dedup: inverted-index n-gram Jaccard with rare-shingle candidates"),
+
+    Q(
+      "d6_embed_neardup",
+      (s, dir) => {
+        // embedding-cosine near-dup, LSH-prefiltered: 4 bands x 4
+        // hyperplanes; pairs sharing any band verify exact quantized
+        // cosine >= 0.4. (This corpus's max pairwise cosine is ~0.51, so
+        // the threshold is set to exercise real matches.)
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), quantize(col("embedding")).as("q"))
+        val bands = e.select(col("vec_id"), col("q"),
+          explode(lshBandKeys(col("q"), 4, 4, 64)).as("band_key"))
+        val a = bands.select(col("band_key"), col("vec_id").as("vec_a"), col("q").as("q_a"))
+        val b = bands.select(col("band_key"), col("vec_id").as("vec_b"), col("q").as("q_b"))
+        a.join(b, Seq("band_key"))
+          .filter(col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b"),
+            cosineQ(col("q_a"), col("q_b")).as("cosine"))
+          .distinct()
+          .filter(col("cosine") >= 0.4)
+      },
+      Some("""WITH e AS (SELECT vec_id,
+                list_transform(embedding, x -> round(x*1000)::BIGINT) AS q
+                FROM embeddings),
+              bands AS (SELECT vec_id, q,
+                unnest([ b || '#' ||
+                  list_sum([ CASE WHEN list_dot_product(q,
+                      [ (('0x'||substr(md5((b*4+j)||'|'||d),1,15))::BIGINT % 2001) - 1000
+                        for d in range(0,64) ]) > 0
+                    THEN (1::BIGINT << j) ELSE 0 END for j in range(0,4) ])::BIGINT
+                  for b in range(0,4) ]) AS band_key FROM e)
+              SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                list_dot_product(a.q, b.q) /
+                (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))) AS cosine
+              FROM bands a JOIN bands b USING (band_key)
+              WHERE a.vec_id < b.vec_id
+              AND list_dot_product(a.q, b.q) /
+                  (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))) >= 0.4"""),
+      doc = "Dedup: embedding-cosine near-dup via banded hyperplane LSH")
+  )
+}

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.DedupFunctions.lshBandKeys
+import graft.functions.VectorFunctions._
+import Tables.t
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * Two paths, as a production pipeline would ship them:
+  *  - `sim1_brute_topk`: exact cosine top-k — the correctness baseline.
+  *    The query set is tiny and broadcast; the candidate scan is a single
+  *    narrow pass, ranking is a per-query window. At 100 TB this is the
+  *    "re-rank the candidates" kernel, not the full-corpus path.
+  *  - `sim2_lsh_ann`: banded random-hyperplane LSH — the full-corpus scale
+  *    path. Bucketing is a narrow map + one shuffle; only bucket-mates are
+  *    scored. Recall tunes with bands x planes.
+  *
+  * All scores are computed over integer-quantized vectors (see
+  * VectorFunctions) so both engines produce bit-identical doubles.
+  */
+object SimilarityOps {
+
+  private val QuerySetSql = "vec_id < 10"
+  private val K = 5
+
+  def qs: Seq[Q] = Seq(
+    Q(
+      "sim1_brute_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), quantize(col("embedding")).as("q"))
+        val queries = e.filter(expr(QuerySetSql))
+          .select(col("vec_id").as("query_id"), col("q").as("qq"))
+        val cands = e.filter(!expr(QuerySetSql))
+        val scored = cands.crossJoin(broadcast(queries))
+          .select(col("query_id"), col("vec_id"),
+            cosineQ(col("qq"), col("q")).as("cosine"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= K)
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+                 list_transform(embedding, x -> round(x*1000)::BIGINT) AS q
+                 FROM embeddings),
+               scored AS (SELECT qs.vec_id AS query_id, c.vec_id,
+                 list_dot_product(qs.q, c.q) /
+                 (sqrt(list_dot_product(qs.q, qs.q)) * sqrt(list_dot_product(c.q, c.q))) AS cosine
+                 FROM e qs JOIN e c ON qs.$QuerySetSql AND NOT c.$QuerySetSql)
+               SELECT query_id, vec_id, cosine, rank FROM
+                 (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id) AS rank FROM scored)
+               WHERE rank <= $K"""),
+      doc = "ANN baseline: exact brute-force cosine top-k (broadcast queries)"),
+
+    Q(
+      "sim2_lsh_ann",
+      (s, dir) => {
+        // scale path: score only bucket-mates of each query's LSH bands
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), quantize(col("embedding")).as("q"))
+          .withColumn("band_key", explode(lshBandKeys(col("q"), 4, 4, 64)))
+        val queries = e.filter(expr(QuerySetSql))
+          .select(col("band_key"), col("vec_id").as("query_id"), col("q").as("qq"))
+        val cands = e.filter(!expr(QuerySetSql))
+        val scored = cands.join(queries, Seq("band_key"))
+          .select(col("query_id"), col("vec_id"),
+            cosineQ(col("qq"), col("q")).as("cosine"))
+          .distinct()
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= K)
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+                 list_transform(embedding, x -> round(x*1000)::BIGINT) AS q
+                 FROM embeddings),
+               b AS (SELECT vec_id, q,
+                 unnest([ bb || '#' ||
+                   list_sum([ CASE WHEN list_dot_product(q,
+                       [ (('0x'||substr(md5((bb*4+j)||'|'||d),1,15))::BIGINT % 2001) - 1000
+                         for d in range(0,64) ]) > 0
+                     THEN (1::BIGINT << j) ELSE 0 END for j in range(0,4) ])::BIGINT
+                   for bb in range(0,4) ]) AS band_key FROM e),
+               scored AS (SELECT DISTINCT qs.vec_id AS query_id, c.vec_id,
+                 list_dot_product(qs.q, c.q) /
+                 (sqrt(list_dot_product(qs.q, qs.q)) * sqrt(list_dot_product(c.q, c.q))) AS cosine
+                 FROM b qs JOIN b c USING (band_key)
+                 WHERE qs.$QuerySetSql AND NOT c.$QuerySetSql)
+               SELECT query_id, vec_id, cosine, rank FROM
+                 (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id) AS rank FROM scored)
+               WHERE rank <= $K"""),
+      doc = "ANN scale path: banded hyperplane LSH bucket join + in-bucket rank")
+  )
+}

@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import Tables.t
+
+/** Text-analysis operators for training-data pipelines over the
+  * `documents` table: token statistics, quality scoring, language ID,
+  * document fingerprinting, corpus n-gram stats.
+  *
+  * All narrow per-row column expressions (plus one aggregation for the
+  * corpus stats) — at 100 TB each is a single pass with no shuffle except
+  * the final group-by, which partial-aggregates map-side.
+  */
+object TextOps {
+
+  /** BPE-ish pretokenizer: letter runs | digit runs | single symbols.
+    * RE2-safe (no lookarounds) so the DuckDB oracle matches exactly.
+    */
+  private val BpeTokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Tiny per-language marker lexicons (stopword heuristic). On synthetic
+    * corpora the interesting part is the *mechanism*: per-language marker
+    * hit counts → argmax with deterministic tie-break (count desc, code
+    * asc).
+    */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("de", "shi", "le", "bu", "wo"))
+
+  def qs: Seq[Q] = Seq(
+    Q(
+      "t1_token_stats",
+      (s, dir) => {
+        val toks = tokens(col("text"))
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          length(col("text")).as("n_chars2"),
+          size(toks).as("n_tokens"),
+          size(regexp_extract_all(col("text"), lit(BpeTokenRe), lit(0))).as("n_bpe_tokens"),
+          size(array_distinct(toks)).as("n_distinct_tokens"))
+      },
+      Some("""SELECT doc_id, length(text) AS n_chars2,
+              len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens,
+              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+              len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS n_distinct_tokens
+              FROM documents"""),
+      doc = "Text: whitespace + BPE-ish token counting, vocabulary size"),
+
+    Q(
+      "t2_quality_score",
+      (s, dir) => {
+        // quality signals: mean word length, stopword ratio, repetition
+        // (1 - distinct/total), alpha ratio; integer-scaled score so the
+        // hash compare is exact (single int division per component)
+        val toks = tokens(col("text"))
+        val nTok = size(toks)
+        val stop = Seq("the", "a", "of", "and", "in", "to", "is")
+        val nStop = size(filter(toks, x => x.isin(stop.map(lit(_)): _*)))
+        val nChars = aggregate(toks, lit(0L), (acc, x) => acc + length(x))
+        val nAlpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+        // integer permille via floor(exact-double division): operands stay
+        // < 2^53 so the quotient can't straddle an integer boundary — same
+        // result as DuckDB's integer `//`
+        def permille(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+          floor(num.cast("double") * 1000d / den.cast("double")).cast("long")
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          nTok.as("n_tokens"),
+          nStop.as("n_stopwords"),
+          nChars.as("n_token_chars"),
+          permille(nStop, nTok).as("stopword_permille"),
+          permille(size(array_distinct(toks)), nTok).as("distinct_permille"),
+          permille(nAlpha, length(col("text"))).as("alpha_permille"))
+      },
+      Some("""WITH q AS (SELECT doc_id, text,
+                list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+                FROM documents)
+              SELECT doc_id,
+              len(toks) AS n_tokens,
+              len(list_filter(toks, x -> list_contains(['the','a','of','and','in','to','is'], x))) AS n_stopwords,
+              list_sum(list_transform(toks, x -> length(x))) AS n_token_chars,
+              len(list_filter(toks, x -> list_contains(['the','a','of','and','in','to','is'], x))) * 1000 // len(toks) AS stopword_permille,
+              len(list_distinct(toks)) * 1000 // len(toks) AS distinct_permille,
+              length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000 // length(text) AS alpha_permille
+              FROM q"""),
+      doc = "Text: document quality signals (integer-scaled, hash-exact)"),
+
+    Q(
+      "t3_langid",
+      (s, dir) => {
+        // marker-lexicon language ID: per-language hit count over tokens,
+        // argmax with (count desc, code asc) tie-break via array_max over
+        // (count, negated-code) structs — pure column expressions
+        val toks = tokens(lower(col("text")))
+        val scored = LangMarkers.map { case (code, markers) =>
+          struct(
+            size(filter(toks, x => x.isin(markers.map(lit(_)): _*))).as("hits"),
+            lit(code).as("code"))
+        }
+        // max of (hits asc, code desc-by-reverse) — Spark struct ordering is
+        // lexicographic; to break ties toward the SMALLEST code we compare
+        // on (hits, reversed_rank) where rank is the position in a fixed
+        // code list (later codes lose)
+        val ranked = LangMarkers.zipWithIndex.map { case ((code, markers), i) =>
+          struct(
+            size(filter(toks, x => x.isin(markers.map(lit(_)): _*))).as("hits"),
+            lit(LangMarkers.length - i).as("prio"),
+            lit(code).as("code"))
+        }
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          col("lang").as("labeled_lang"),
+          array_max(array(ranked: _*)).getField("code").as("detected_lang"),
+          array_max(array(scored: _*)).getField("hits").as("marker_hits"))
+      },
+      Some("""WITH q AS (SELECT doc_id, lang,
+                list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+                FROM documents),
+              s AS (SELECT doc_id, lang,
+                [
+                 {'hits': len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))), 'prio': 5, 'code': 'en'},
+                 {'hits': len(list_filter(toks, x -> list_contains(['el','la','de','que','y'], x))), 'prio': 4, 'code': 'es'},
+                 {'hits': len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))), 'prio': 3, 'code': 'de'},
+                 {'hits': len(list_filter(toks, x -> list_contains(['le','la','les','et','est'], x))), 'prio': 2, 'code': 'fr'},
+                 {'hits': len(list_filter(toks, x -> list_contains(['de','shi','le','bu','wo'], x))), 'prio': 1, 'code': 'zh'}
+                ] AS ranked FROM q)
+              SELECT doc_id, lang AS labeled_lang,
+              list_max(ranked)['code'] AS detected_lang,
+              list_max(list_transform(ranked, r -> r['hits'])) AS marker_hits
+              FROM s"""),
+      doc = "Text: n-gram/stopword-marker language identification (argmax)"),
+
+    Q(
+      "t4_fingerprint",
+      (s, dir) =>
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          contentFingerprint(col("text")).as("content_md5"),
+          rollingHash(tokens(col("text"))).as("rolling_hash")),
+      Some("""SELECT doc_id,
+              md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''), ' ')) AS content_md5,
+              list_reduce(
+                list_prepend(0::BIGINT,
+                  list_transform(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''),
+                    t -> ('0x' || substr(md5(t),1,15))::BIGINT % 1000000007)),
+                (a, b) -> (a * 31 + b) % 1000000007) AS rolling_hash
+              FROM documents"""),
+      doc = "Text: order-insensitive md5 + order-sensitive rolling-hash fingerprints"),
+
+    Q(
+      "t5_corpus_ngrams",
+      (s, dir) => {
+        // corpus-wide top-20 word trigrams: explode → count → total-order
+        // top-k (count desc, gram asc). The limit runs AFTER a map-side
+        // combined aggregation, so the sort sees only distinct grams.
+        val d = t(s, dir, "documents")
+        d.select(explode(shingles(tokens(col("text")), 3)).as("gram"))
+          .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("gram"))
+          .limit(20)
+      },
+      Some("""SELECT gram, count(*) AS n FROM (
+                SELECT unnest([ array_to_string(w[i:i+2], ' ')
+                                for i in range(1, greatest(len(w)-1, 1)) ]) AS gram
+                FROM (SELECT list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+                      FROM documents))
+              GROUP BY gram ORDER BY n DESC, gram LIMIT 20"""),
+      doc = "Text: corpus n-gram frequency with deterministic global top-k")
+  )
+}
