@@ -5,9 +5,12 @@ import graft.queries.Registry
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full harmonization pipeline — schema compile, mapping-DSL
+    * compile, node build, graph link — is the engine's reason to exist.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Registry.byName("q1_agg").fn(spark, "/root/testdata/sf0.001")
+    Registry.byName("etl1_harmonize_participants").fn(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
