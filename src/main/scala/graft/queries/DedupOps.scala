@@ -20,12 +20,16 @@ import Tables.t
 object DedupOps {
 
   /** Distinct word-3-gram shingle set per doc (docs shorter than 3 tokens
-    * excluded — they have no shingles).
+    * excluded — they have no shingles). Materialized lazily
+    * (localCheckpoint): the frame is consumed by both sides of the
+    * candidate self-join AND the per-pair verification joins — without a
+    * barrier each consumer re-evaluates the whole shingling pipeline.
     */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), shingleSet(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
+      .localCheckpoint(false)
 
   private val ShingleCte =
     """sh AS (
@@ -37,12 +41,13 @@ object DedupOps {
          WHERE len(w) >= 3)"""
 
   /** Exact Jaccard between two shingle-set columns (integer sizes → one
-    * deterministic IEEE division; identical in every engine).
+    * deterministic IEEE division; identical in every engine). The
+    * intersection is bound once via let1 — it is the expensive term.
     */
-  private def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
-  }
+  private def jaccard(a: Column, b: Column): Column =
+    let1(size(array_intersect(a, b))) { inter =>
+      inter.cast("double") / (size(a) + size(b) - inter).cast("double")
+    }
 
   def qs: Seq[Q] = Seq(
     Q(
@@ -64,23 +69,29 @@ object DedupOps {
         // MinHash(k=12) → 4 bands × 3 rows → band-key self-join →
         // exact-Jaccard verification at 0.5. One shuffle for the band join,
         // one for pair distinct; signatures are narrow maps.
-        val sig = shingled(s, dir)
-          .withColumn("sig", minhashSignature(col("sh"), 12))
-        val bands = sig.select(
-          col("doc_id"), col("sh"),
-          explode(minhashBandKeys(col("sig"), 4, 3)).as("band_key"))
-        val a = bands.select(col("band_key"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-        val b = bands.select(col("band_key"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-        a.join(b, Seq("band_key"))
+        // pair ids are distinct'd BEFORE verification: a pair sharing all 4
+        // bands would otherwise pay the exact-Jaccard cost 4 times
+        val sh = shingled(s, dir)
+        val bands = sh
+          .select(col("doc_id"), explode(minhashBandKeys(col("sh"), 12, 4, 3)).as("band_key"))
+          .localCheckpoint(false) // signature hashing runs once, not per join side
+        val pairs = bands.select(col("band_key"), col("doc_id").as("doc_a"))
+          .join(bands.select(col("band_key"), col("doc_id").as("doc_b")), Seq("band_key"))
           .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+        pairs
+          .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
           .select(col("doc_a"), col("doc_b"),
             jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-          .distinct()
           .filter(col("jaccard") >= 0.5)
       },
       Some(s"""WITH $ShingleCte,
               sig AS (SELECT doc_id, sh,
-                [ list_min([ ('0x'||substr(md5(i||'|'||g),1,15))::BIGINT for g in sh ])
+                [ list_min([ ((${graft.functions.DedupFunctions.minhashA(12).mkString("[", ",", "]")})[i+1]
+                              * (('0x'||substr(md5(g),1,15))::BIGINT % 1000000007)
+                              + (${graft.functions.DedupFunctions.minhashB(12).mkString("[", ",", "]")})[i+1])
+                             % 1000000007 for g in sh ])
                   for i in range(0,12) ] AS sig FROM sh),
               bands AS (SELECT doc_id, sh,
                 unnest([ b || '#' || array_to_string(sig[b*3+1:b*3+3], ',')
@@ -125,17 +136,20 @@ object DedupOps {
           .withColumn("hs", transform(tokens(col("text")),
             tk => graft.functions.HashFunctions.h60(tk)))
           .selectExpr("doc_id", simhashSql("hs") + " AS simhash")
-        val chunks = sim.select(col("doc_id"), col("simhash"),
+          .localCheckpoint(false) // simhash runs once, not per consumer
+        val chunks = sim.select(col("doc_id"),
           explode(expr(
             "transform(sequence(0,3), c -> concat(c, '#', (shiftright(simhash, c*15) & 32767)))"
           )).as("chunk_key"))
-        val a = chunks.select(col("chunk_key"), col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
-        val bb = chunks.select(col("chunk_key"), col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
-        a.join(bb, Seq("chunk_key"))
+        val pairs = chunks.select(col("chunk_key"), col("doc_id").as("doc_a"))
+          .join(chunks.select(col("chunk_key"), col("doc_id").as("doc_b")), Seq("chunk_key"))
           .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+        pairs
+          .join(sim.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a")), Seq("doc_a"))
+          .join(sim.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b")), Seq("doc_b"))
           .select(col("doc_a"), col("doc_b"),
             bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-          .distinct()
           .filter(col("hamming") <= 3)
       },
       Some("""WITH sim AS (
@@ -161,26 +175,30 @@ object DedupOps {
       "d5_ngram_jaccard",
       (s, dir) => {
         // n-gram Jaccard near-dup: docs sharing a RARE shingle (global
-        // frequency <= 20) are candidates; exact Jaccard >= 0.6 verifies.
+        // frequency <= 5) are candidates; exact Jaccard >= 0.6 verifies.
         // Rare-shingle filtering bounds bucket sizes the way stop-shingle
         // removal does in production dedup.
         val sh = shingled(s, dir)
-        val inverted = sh.select(col("doc_id"), col("sh"), explode(col("sh")).as("g"))
+        val inverted = sh.select(col("doc_id"), explode(col("sh")).as("g"))
         val rare = inverted.groupBy(col("g")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= 20)
+          .filter(col("df") <= 5)
         val cand = inverted.join(rare.select(col("g")), Seq("g"))
-        val a = cand.select(col("g"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-        val b = cand.select(col("g"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-        a.join(b, Seq("g"))
+        // distinct pair ids first: a pair sharing 15 rare shingles must not
+        // pay 15 exact-Jaccard verifications
+        val pairs = cand.select(col("g"), col("doc_id").as("doc_a"))
+          .join(cand.select(col("g"), col("doc_id").as("doc_b")), Seq("g"))
           .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+        pairs
+          .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
           .select(col("doc_a"), col("doc_b"),
             jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-          .distinct()
           .filter(col("jaccard") >= 0.6)
       },
       Some(s"""WITH $ShingleCte,
               inv AS (SELECT doc_id, sh, unnest(sh) AS g FROM sh),
-              rare AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= 20),
+              rare AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= 5),
               cand AS (SELECT inv.* FROM inv JOIN rare USING (g))
               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                 len(list_intersect(a.sh, b.sh))::DOUBLE /
@@ -200,15 +218,18 @@ object DedupOps {
         // the threshold is set to exercise real matches.)
         val e = t(s, dir, "embeddings")
           .select(col("vec_id"), quantize(col("embedding")).as("q"))
-        val bands = e.select(col("vec_id"), col("q"),
+        val bands = e.select(col("vec_id"),
           explode(lshBandKeys(col("q"), 4, 4, 64)).as("band_key"))
-        val a = bands.select(col("band_key"), col("vec_id").as("vec_a"), col("q").as("q_a"))
-        val b = bands.select(col("band_key"), col("vec_id").as("vec_b"), col("q").as("q_b"))
-        a.join(b, Seq("band_key"))
+          .localCheckpoint(false) // 16 hyperplane dots run once, not per side
+        val pairs = bands.select(col("band_key"), col("vec_id").as("vec_a"))
+          .join(bands.select(col("band_key"), col("vec_id").as("vec_b")), Seq("band_key"))
           .filter(col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b")).distinct()
+        pairs
+          .join(e.select(col("vec_id").as("vec_a"), col("q").as("q_a")), Seq("vec_a"))
+          .join(e.select(col("vec_id").as("vec_b"), col("q").as("q_b")), Seq("vec_b"))
           .select(col("vec_a"), col("vec_b"),
             cosineQ(col("q_a"), col("q_b")).as("cosine"))
-          .distinct()
           .filter(col("cosine") >= 0.4)
       },
       Some("""WITH e AS (SELECT vec_id,

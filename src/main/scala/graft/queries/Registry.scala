@@ -34,7 +34,8 @@ object Tables {
 object Registry {
   def all: Seq[Q] =
     CoreOps.qs ++ DslOps.qs ++ JoinAggOps.qs ++ ShapeOps.qs ++
-      TextOps.qs ++ DedupOps.qs ++ SimilarityOps.qs ++ EtlGraphOps.qs
+      TextOps.qs ++ DedupOps.qs ++ SimilarityOps.qs ++ EtlGraphOps.qs ++
+      MultimodalOps.qs
 
   lazy val byName: Map[String, Q] = {
     val m = all.map(q => q.name -> q).toMap

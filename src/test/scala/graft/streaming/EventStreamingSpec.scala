@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkTestBase
+
+final case class StreamEvent(
+    event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+/** Streaming ops tested through MemoryStream — same transform functions
+  * as the batch path, incremental execution.
+  */
+class EventStreamingSpec extends SparkTestBase {
+
+  private def ev(id: Long, hour: Int, typ: String, v: Double) =
+    StreamEvent(id, Timestamp.valueOf(f"2024-01-01 $hour%02d:30:00"), 1L, typ, v, "{}")
+
+  test("windowedTypeCounts aggregates tumbling windows incrementally") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[StreamEvent]
+    val agg = EventStreaming.windowedTypeCounts(mem.toDF(), "1 hour", "30 minutes")
+
+    val q = agg.writeStream.format("memory").queryName("wtc")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(ev(1, 1, "click", 1.0), ev(2, 1, "click", 2.0), ev(3, 2, "view", 5.0))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT event_type, n, sum_value FROM wtc ORDER BY event_type")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq(("click", 2L, 3.0), ("view", 1L, 5.0)))
+
+      // incremental update: a second batch lands in the same click window
+      mem.addData(ev(4, 1, "click", 4.0))
+      q.processAllAvailable()
+      val clicks = s.sql("SELECT n, sum_value FROM wtc WHERE event_type = 'click'")
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(clicks.toSeq == Seq((3L, 7.0)))
+    } finally q.stop()
+  }
+
+  test("dedupedEvents drops duplicate event_ids within the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[StreamEvent]
+    val deduped = EventStreaming.dedupedEvents(mem.toDF(), "1 hour")
+
+    val q = deduped.writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(ev(1, 1, "click", 1.0), ev(1, 1, "click", 1.0), ev(2, 1, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData(ev(1, 1, "click", 1.0), ev(3, 2, "buy", 3.0))
+      q.processAllAvailable()
+      val ids = s.sql("SELECT event_id FROM dedup ORDER BY event_id")
+        .collect().map(_.getLong(0))
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+}
