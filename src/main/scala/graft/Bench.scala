@@ -1,17 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every registry query at SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line. Queries run in sorted name order (deterministic
+  * attribution round to round) after an untimed warmup that absorbs JVM /
+  * codegen / parquet-footer spin-up — otherwise whichever query happens to
+  * run first is charged ~4s of session warmup.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-bench")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.range(1000000).selectExpr("sum(id) s").collect()
+    try { SparkEntry.entry(spark).count() } catch { case _: Throwable => () }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-import HashFunctions.h60
 
 /** Near-duplicate detection primitives: MinHash signatures + LSH banding,
   * SimHash, and random-hyperplane LSH for embeddings.
@@ -41,15 +40,16 @@ object DedupFunctions {
   def minhashA(k: Int): Seq[Long] = (0 until k).map(i => coefHash(s"a|$i") % (MinhashP - 1) + 1)
   def minhashB(k: Int): Seq[Long] = (0 until k).map(i => coefHash(s"b|$i") % MinhashP)
 
-  /** MinHash signature of a shingle-set column: single fold over the
-    * hashed shingles taking the elementwise min of the k permutations —
-    * one portable hash per shingle, one pass, no re-evaluation.
+  /** MinHash signature of a PRE-HASHED shingle-set column (array<bigint>,
+    * one portable h60 per shingle computed upstream — shingle sets are
+    * hashed once at shingling time and every downstream op works on
+    * longs): single fold taking the elementwise min of the k permutations.
     */
-  def minhashSignature(sh: Column, k: Int): Column = {
+  def minhashSignature(hs: Column, k: Int): Column = {
     val a = typedlit(minhashA(k))
     val b = typedlit(minhashB(k))
     aggregate(
-      transform(sh, g => h60(g)),
+      hs,
       array_repeat(lit(MinhashP), k),
       (acc, h) => zip_with(acc,
         transform(sequence(lit(0), lit(k - 1)),
@@ -57,12 +57,12 @@ object DedupFunctions {
         (x, y) => least(x, y)))
   }
 
-  /** LSH band keys straight from the shingle set: `bands` keys of
+  /** LSH band keys straight from the hashed shingle set: `bands` keys of
     * `rowsPerBand` signature slots each, with the signature bound ONCE via
     * [[let1]]. Docs sharing ANY band key are candidate pairs.
     */
-  def minhashBandKeys(sh: Column, k: Int, bands: Int, rowsPerBand: Int): Column =
-    let1(minhashSignature(sh, k)) { sig =>
+  def minhashBandKeys(hs: Column, k: Int, bands: Int, rowsPerBand: Int): Column =
+    let1(minhashSignature(hs, k)) { sig =>
       transform(sequence(lit(0), lit(bands - 1)),
         b => concat_ws("#", b.cast("string"),
           array_join(

@@ -33,6 +33,29 @@ object TextFunctions {
   def shingleSet(text: Column, n: Int): Column =
     array_sort(array_distinct(shingles(tokens(text), n)))
 
+  /** Distinct HASHED 3-gram shingle set (array<bigint>), the fast path for
+    * Jaccard/MinHash at corpus scale: ONE portable md5-derived hash per
+    * TOKEN, then each shingle hash is an arithmetic mix of 3 consecutive
+    * token hashes — shingle-count md5 calls (the dominant cost: lambda
+    * bodies are interpreted per element) drop to token-count.
+    *
+    * Mix: ((h1 % M)*4093 + (h2 % M)*8191 + (h3 % M)) % M with M = 2^40 —
+    * every intermediate stays < 2^54, so the arithmetic neither wraps in
+    * Spark nor overflows DuckDB's checked BIGINT; any of the ~2^-40-rate
+    * collisions is reproduced identically by the oracle.
+    */
+  def hashedShingleSet(text: Column): Column = {
+    val M = 1L << 40
+    DedupFunctions.let1(transform(tokens(text), t => HashFunctions.h60(t) % M)) { hs =>
+      when(size(hs) >= 3,
+        array_distinct(transform(sequence(lit(0), size(hs) - 3),
+          i => (element_at(hs, i + 1) * 4093L +
+            element_at(hs, i + 2) * 8191L +
+            element_at(hs, i + 3)) % M)))
+        .otherwise(typedlit(Seq.empty[Long]))
+    }
+  }
+
   /** Exact content fingerprint: md5 of whitespace-normalized casefolded
     * text (the exact-dedup key).
     */

@@ -19,29 +19,37 @@ import Tables.t
   */
 object DedupOps {
 
-  /** Distinct word-3-gram shingle set per doc (docs shorter than 3 tokens
-    * excluded — they have no shingles). Materialized lazily
-    * (localCheckpoint): the frame is consumed by both sides of the
-    * candidate self-join AND the per-pair verification joins — without a
-    * barrier each consumer re-evaluates the whole shingling pipeline.
+  /** Distinct word-3-gram shingle set per doc, HASHED to portable 60-bit
+    * longs at shingling time (docs shorter than 3 tokens excluded — they
+    * have no shingles). Hashing once here means MinHash permutations,
+    * inverted-index grouping, and Jaccard intersections all work on
+    * 8-byte longs instead of ~20-byte strings; any hash collision is
+    * reproduced identically by the oracle (same md5-derived hash), so
+    * parity is unaffected. Materialized lazily (localCheckpoint): the
+    * frame is consumed by both sides of the candidate self-join AND the
+    * per-pair verification joins — without a barrier each consumer
+    * re-evaluates the whole shingling pipeline.
     */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), shingleSet(col("text"), 3).as("sh"))
+      .select(col("doc_id"), hashedShingleSet(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
       .localCheckpoint(false)
 
   private val ShingleCte =
     """sh AS (
-         SELECT doc_id, list_distinct([ array_to_string(w[i:i+2], ' ')
-                  for i in range(1, greatest(len(w)-1, 1)) ]) AS sh
+         SELECT doc_id, list_distinct([
+             (hs[i] * 4093 + hs[i+1] * 8191 + hs[i+2]) % 1099511627776
+             for i in range(1, len(hs)-1) ]) AS sh
          FROM (SELECT doc_id,
-                 list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+                 list_transform(
+                   list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''),
+                   t -> ('0x'||substr(md5(t),1,15))::BIGINT % 1099511627776) AS hs
                FROM documents)
-         WHERE len(w) >= 3)"""
+         WHERE len(hs) >= 3)"""
 
-  /** Exact Jaccard between two shingle-set columns (integer sizes → one
-    * deterministic IEEE division; identical in every engine). The
+  /** Exact Jaccard between two hashed-shingle-set columns (integer sizes →
+    * one deterministic IEEE division; identical in every engine). The
     * intersection is bound once via let1 — it is the expensive term.
     */
   private def jaccard(a: Column, b: Column): Column =
@@ -89,7 +97,7 @@ object DedupOps {
       Some(s"""WITH $ShingleCte,
               sig AS (SELECT doc_id, sh,
                 [ list_min([ ((${graft.functions.DedupFunctions.minhashA(12).mkString("[", ",", "]")})[i+1]
-                              * (('0x'||substr(md5(g),1,15))::BIGINT % 1000000007)
+                              * (g % 1000000007)
                               + (${graft.functions.DedupFunctions.minhashB(12).mkString("[", ",", "]")})[i+1])
                              % 1000000007 for g in sh ])
                   for i in range(0,12) ] AS sig FROM sh),
@@ -215,9 +223,13 @@ object DedupOps {
         // embedding-cosine near-dup, LSH-prefiltered: 4 bands x 4
         // hyperplanes; pairs sharing any band verify exact quantized
         // cosine >= 0.4. (This corpus's max pairwise cosine is ~0.51, so
-        // the threshold is set to exercise real matches.)
+        // the threshold is set to exercise real matches.) Norms are
+        // precomputed per VECTOR, not per pair — verification is one dot
+        // product + one divide instead of three dots.
         val e = t(s, dir, "embeddings")
           .select(col("vec_id"), quantize(col("embedding")).as("q"))
+          .withColumn("nrm", sqrt(dotQ(col("q"), col("q")).cast("double")))
+          .localCheckpoint(false) // quantize + norm run once, not per consumer
         val bands = e.select(col("vec_id"),
           explode(lshBandKeys(col("q"), 4, 4, 64)).as("band_key"))
           .localCheckpoint(false) // 16 hyperplane dots run once, not per side
@@ -226,16 +238,18 @@ object DedupOps {
           .filter(col("vec_a") < col("vec_b"))
           .select(col("vec_a"), col("vec_b")).distinct()
         pairs
-          .join(e.select(col("vec_id").as("vec_a"), col("q").as("q_a")), Seq("vec_a"))
-          .join(e.select(col("vec_id").as("vec_b"), col("q").as("q_b")), Seq("vec_b"))
+          .join(e.select(col("vec_id").as("vec_a"), col("q").as("q_a"), col("nrm").as("n_a")), Seq("vec_a"))
+          .join(e.select(col("vec_id").as("vec_b"), col("q").as("q_b"), col("nrm").as("n_b")), Seq("vec_b"))
           .select(col("vec_a"), col("vec_b"),
-            cosineQ(col("q_a"), col("q_b")).as("cosine"))
+            (dotQ(col("q_a"), col("q_b")).cast("double") / (col("n_a") * col("n_b"))).as("cosine"))
           .filter(col("cosine") >= 0.4)
       },
       Some("""WITH e AS (SELECT vec_id,
-                list_transform(embedding, x -> round(x*1000)::BIGINT) AS q
+                list_transform(embedding, x -> round(x*1000)::BIGINT) AS q,
+                sqrt(list_dot_product(list_transform(embedding, x -> round(x*1000)::BIGINT),
+                                      list_transform(embedding, x -> round(x*1000)::BIGINT))) AS nrm
                 FROM embeddings),
-              bands AS (SELECT vec_id, q,
+              bands AS (SELECT vec_id, q, nrm,
                 unnest([ b || '#' ||
                   list_sum([ CASE WHEN list_dot_product(q,
                       [ (('0x'||substr(md5((b*4+j)||'|'||d),1,15))::BIGINT % 2001) - 1000
@@ -243,12 +257,10 @@ object DedupOps {
                     THEN (1::BIGINT << j) ELSE 0 END for j in range(0,4) ])::BIGINT
                   for b in range(0,4) ]) AS band_key FROM e)
               SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                list_dot_product(a.q, b.q) /
-                (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))) AS cosine
+                list_dot_product(a.q, b.q) / (a.nrm * b.nrm) AS cosine
               FROM bands a JOIN bands b USING (band_key)
               WHERE a.vec_id < b.vec_id
-              AND list_dot_product(a.q, b.q) /
-                  (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))) >= 0.4"""),
+              AND list_dot_product(a.q, b.q) / (a.nrm * b.nrm) >= 0.4"""),
       doc = "Dedup: embedding-cosine near-dup via banded hyperplane LSH")
   )
 }

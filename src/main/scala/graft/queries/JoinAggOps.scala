@@ -136,30 +136,28 @@ object JoinAggOps {
       "a7_dedup_first_wins",
       (s, dir) => {
         // A7: cross-file dedup — two overlapping extracts, first
-        // transformation wins per content key; report per-source survivors
+        // transformation wins per content key; report per-source survivors.
+        // min(ord) per key instead of a row_number window: both shuffles
+        // partial-aggregate map-side and nothing gets sorted.
         val li = t(s, dir, "lineitem")
         val key = md5(concat_ws("|",
           col("l_orderkey"), col("l_linenumber"), col("l_quantity")))
-        val a = li.filter(col("l_quantity") > 25).withColumn("__src", lit("xform_a"))
-          .withColumn("__ord", lit(1))
-        val b = li.filter(col("l_quantity") > 10).withColumn("__src", lit("xform_b"))
-          .withColumn("__ord", lit(2))
-        val u = a.unionByName(b).withColumn("__key", key)
-        val w = Window.partitionBy(col("__key")).orderBy(col("__ord"))
-        u.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
-          .groupBy(col("__src"))
+        val a = li.filter(col("l_quantity") > 25).withColumn("__ord", lit(1))
+        val b = li.filter(col("l_quantity") > 10).withColumn("__ord", lit(2))
+        a.unionByName(b).select(key.as("__key"), col("__ord"))
+          .groupBy(col("__key")).agg(min(col("__ord")).as("__won"))
+          .groupBy(when(col("__won") === 1, lit("xform_a"))
+            .otherwise(lit("xform_b")).as("__src"))
           .agg(count(lit(1)).as("survivors"))
       },
       Some("""WITH u AS (
-                SELECT *, 'xform_a' AS src, 1 AS ord FROM lineitem WHERE l_quantity > 25
+                SELECT *, 1 AS ord FROM lineitem WHERE l_quantity > 25
                 UNION ALL
-                SELECT *, 'xform_b' AS src, 2 AS ord FROM lineitem WHERE l_quantity > 10),
-              k AS (SELECT src,
-                    md5(concat_ws('|', l_orderkey, l_linenumber, l_quantity)) AS key, ord
-                    FROM u),
-              r AS (SELECT src, row_number() OVER (PARTITION BY key ORDER BY ord) AS rn FROM k)
-              SELECT src AS __src, count(*) AS survivors FROM r WHERE rn = 1 GROUP BY src"""),
+                SELECT *, 2 AS ord FROM lineitem WHERE l_quantity > 10),
+              k AS (SELECT md5(concat_ws('|', l_orderkey, l_linenumber, l_quantity)) AS key,
+                    min(ord) AS won FROM u GROUP BY 1)
+              SELECT CASE WHEN won = 1 THEN 'xform_a' ELSE 'xform_b' END AS __src,
+                     count(*) AS survivors FROM k GROUP BY 1"""),
       doc = "A7: first-occurrence-wins content-hash dedup across sources"),
 
     Q(

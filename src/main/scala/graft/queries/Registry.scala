@@ -35,7 +35,7 @@ object Registry {
   def all: Seq[Q] =
     CoreOps.qs ++ DslOps.qs ++ JoinAggOps.qs ++ ShapeOps.qs ++
       TextOps.qs ++ DedupOps.qs ++ SimilarityOps.qs ++ EtlGraphOps.qs ++
-      MultimodalOps.qs
+      MultimodalOps.qs ++ RuleOps.qs
 
   lazy val byName: Map[String, Q] = {
     val m = all.map(q => q.name -> q).toMap
