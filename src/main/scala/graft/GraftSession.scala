@@ -16,6 +16,7 @@ object GraftSession {
   def builder(appName: String): SparkSession.Builder =
     SparkSession.builder()
       .appName(appName)
+      .withExtensions(new graft.expressions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

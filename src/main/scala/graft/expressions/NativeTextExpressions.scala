@@ -1,0 +1,67 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text/dedup hot paths.
+  *
+  * The higher-order-function formulations in `graft.functions` evaluate
+  * their lambda bodies through the interpreted expression evaluator — once
+  * per array element — which made md5-per-token/shingle the dominant cost
+  * of the dedup family. These expressions generate a single static-call
+  * into [[TextKernels]] inside whole-stage codegen: no virtual dispatch,
+  * no per-element expression-tree walk, null handling inherited from
+  * `UnaryExpression`. Each computes bit-identical results to its
+  * column-expression spec (asserted by NativeTextExpressionsSpec and by
+  * the DuckDB oracle, which independently recomputes the definition).
+  */
+trait NativeTextExpression extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.sql}")
+  override def nullIntolerant: Boolean = true
+  protected def kernelCall(c: String): String
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, kernelCall)
+}
+
+/** 60-bit SimHash of a document (see `DedupFunctions.simhashSql`). */
+case class Simhash60(child: Expression) extends NativeTextExpression {
+  override def dataType: DataType = LongType
+  override protected def kernelCall(c: String): String =
+    s"graft.expressions.TextKernels.simhash60($c)"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.simhash60(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Simhash60 =
+    copy(child = newChild)
+  override def prettyName: String = "graft_simhash60"
+}
+
+/** Distinct hashed 3-gram shingle set (see `TextFunctions.hashedShingleSet`). */
+case class ShingleHashes(child: Expression) extends NativeTextExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def kernelCall(c: String): String =
+    s"graft.expressions.TextKernels.shingleHashes($c)"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.shingleHashes(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+  override def prettyName: String = "graft_shingle_hashes"
+}
+
+/** 3-gram shingle strings with multiplicity (see `TextFunctions.shingles`). */
+case class ShingleStrings(child: Expression) extends NativeTextExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def kernelCall(c: String): String =
+    s"graft.expressions.TextKernels.shingleStrings($c)"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.shingleStrings(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): ShingleStrings =
+    copy(child = newChild)
+  override def prettyName: String = "graft_shingle_strings"
+}

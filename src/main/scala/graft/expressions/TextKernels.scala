@@ -1,0 +1,118 @@
+package graft.expressions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM kernels behind the native text expressions ([[Simhash60]],
+  * [[ShingleHashes]], [[ShingleStrings]]).
+  *
+  * These compute EXACTLY the same values as the higher-order-function
+  * formulations in `graft.functions` (which remain the executable spec and
+  * the DuckDB oracle's definition) — the only difference is that a single
+  * JIT-compiled loop replaces per-element interpreted Catalyst lambdas,
+  * which is where the dedup/text pipelines spent most of their time.
+  *
+  * Portability contract (shared with the oracle): tokenization is
+  * `split('\s+')` with empties dropped; the per-token hash is the first 15
+  * hex chars of md5 as a 60-bit long (`HashFunctions.h60`); shingle hashes
+  * mix 3 consecutive token hashes as
+  * `((h1%M)*4093 + (h2%M)*8191 + h3%M) % M`, M = 2^40.
+  */
+object TextKernels {
+
+  private val Mod: Long = 1L << 40
+
+  private val digests = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits of md5 (== parsing the first 15 hex chars), nonneg. */
+  private def h60(bytes: Array[Byte]): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xffL) >>> 4)
+  }
+
+  private def tokenBytes(text: UTF8String): Array[Array[Byte]] = {
+    val toks = text.toString.split("\\s+")
+    val out = new Array[Array[Byte]](toks.length)
+    var n = 0
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) {
+        out(n) = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        n += 1
+      }
+      i += 1
+    }
+    if (n == toks.length) out else java.util.Arrays.copyOf(out, n)
+  }
+
+  /** 60-bit SimHash over the token stream (multiplicity kept): bit b set
+    * when the ±1 vote across token-hash bits b is positive.
+    */
+  def simhash60(text: UTF8String): Long = {
+    val toks = tokenBytes(text)
+    val counts = new Array[Int](60)
+    var i = 0
+    while (i < toks.length) {
+      val h = h60(toks(i))
+      var b = 0
+      while (b < 60) {
+        counts(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) {
+      if (counts(b) > 0) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+
+  /** Distinct hashed word-3-gram set, first-occurrence order; fewer than 3
+    * tokens → empty. Mirrors `TextFunctions.hashedShingleSet`.
+    */
+  def shingleHashes(text: UTF8String): ArrayData = {
+    val toks = tokenBytes(text)
+    if (toks.length < 3) return new GenericArrayData(Array.empty[Long])
+    val hs = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) { hs(i) = h60(toks(i)) % Mod; i += 1 }
+    val seen = new java.util.LinkedHashSet[java.lang.Long](toks.length * 2)
+    i = 0
+    while (i < toks.length - 2) {
+      seen.add((hs(i) * 4093L + hs(i + 1) * 8191L + hs(i + 2)) % Mod)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Word-3-gram strings with multiplicity (space-joined), document order;
+    * fewer than 3 tokens → empty. Mirrors `TextFunctions.shingles`.
+    */
+  def shingleStrings(text: UTF8String): ArrayData = {
+    val toks = text.toString.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < 3) return new GenericArrayData(Array.empty[AnyRef])
+    val out = new Array[AnyRef](toks.length - 2)
+    var i = 0
+    while (i < toks.length - 2) {
+      out(i) = UTF8String.fromString(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

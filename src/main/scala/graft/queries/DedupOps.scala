@@ -32,7 +32,7 @@ object DedupOps {
     */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), hashedShingleSet(col("text")).as("sh"))
+      .select(col("doc_id"), call_function("graft_shingle_hashes", col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
       .localCheckpoint(false)
 
@@ -116,11 +116,12 @@ object DedupOps {
     Q(
       "d3_simhash",
       (s, dir) =>
-        // per-doc 60-bit SimHash over the token stream (multiplicity kept)
+        // per-doc 60-bit SimHash over the token stream (multiplicity kept);
+        // native codegen'd expression (graft.expressions.Simhash60) — the
+        // HOF formulation (DedupFunctions.simhashSql) is the spec
         t(s, dir, "documents")
-          .withColumn("hs", transform(tokens(col("text")),
-            tk => graft.functions.HashFunctions.h60(tk)))
-          .selectExpr("doc_id", simhashSql("hs") + " AS simhash"),
+          .select(col("doc_id"),
+            call_function("graft_simhash60", col("text")).as("simhash")),
       Some("""SELECT doc_id,
               list_sum([ CASE WHEN
                   list_sum([ CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END
@@ -141,9 +142,8 @@ object DedupOps {
         // banding: <=3 flipped bits leave at least one chunk identical
         // (pigeonhole), so chunk equality is a lossless prefilter.
         val sim = t(s, dir, "documents")
-          .withColumn("hs", transform(tokens(col("text")),
-            tk => graft.functions.HashFunctions.h60(tk)))
-          .selectExpr("doc_id", simhashSql("hs") + " AS simhash")
+          .select(col("doc_id"),
+            call_function("graft_simhash60", col("text")).as("simhash"))
           .localCheckpoint(false) // simhash runs once, not per consumer
         val chunks = sim.select(col("doc_id"),
           explode(expr(

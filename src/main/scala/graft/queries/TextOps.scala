@@ -159,7 +159,7 @@ object TextOps {
         // top-k (count desc, gram asc). The limit runs AFTER a map-side
         // combined aggregation, so the sort sees only distinct grams.
         val d = t(s, dir, "documents")
-        d.select(explode(shingles(tokens(col("text")), 3)).as("gram"))
+        d.select(explode(call_function("graft_shingle_strings", col("text"))).as("gram"))
           .groupBy(col("gram")).agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("gram"))
           .limit(20)

@@ -1,0 +1,60 @@
+package graft.expressions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.functions.DedupFunctions.simhashSql
+import graft.functions.TextFunctions.{hashedShingleSet, shingles, tokens}
+import graft.functions.HashFunctions.h60
+
+/** The native codegen expressions must be bit-identical to their
+  * higher-order-function specs (which the DuckDB oracle independently
+  * recomputes) — including whitespace edge cases, short docs, and nulls.
+  */
+class NativeTextExpressionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "  leading and   multiple   spaces\tand tabs\nnewlines  ",
+    "one two",                     // < 3 tokens -> no shingles
+    "",                            // empty
+    "dup dup dup dup",             // repeated tokens / repeated shingles
+    "a b c a b c a b c",           // repeated shingles across positions
+    "single").toDF("text")
+
+  test("graft_simhash60 matches the HOF simhash spec") {
+    val spec = docs
+      .withColumn("hs", transform(tokens(col("text")), tk => h60(tk)))
+      .selectExpr(simhashSql("hs") + " AS want")
+      .as[Long].collect()
+    val got = docs.select(call_function("graft_simhash60", col("text")))
+      .as[Long].collect()
+    assert(got.toSeq == spec.toSeq)
+  }
+
+  test("graft_shingle_hashes matches hashedShingleSet as a set") {
+    val spec = docs.select(array_sort(hashedShingleSet(col("text"))))
+      .as[Seq[Long]].collect()
+    val got = docs.select(array_sort(call_function("graft_shingle_hashes", col("text"))))
+      .as[Seq[Long]].collect()
+    assert(got.toSeq == spec.toSeq)
+  }
+
+  test("graft_shingle_strings matches shingles(tokens, 3) with multiplicity") {
+    val spec = docs.select(shingles(tokens(col("text")), 3))
+      .as[Seq[String]].collect()
+    val got = docs.select(call_function("graft_shingle_strings", col("text")))
+      .as[Seq[String]].collect()
+    assert(got.toSeq == spec.toSeq)
+  }
+
+  test("null input yields null, not a crash") {
+    val n = Seq[Option[String]](None, Some("a b c d")).toDF("text")
+    val r = n.select(
+      call_function("graft_simhash60", col("text")).as("s"),
+      call_function("graft_shingle_hashes", col("text")).as("h")).collect()
+    assert(r(0).isNullAt(0) && r(0).isNullAt(1))
+    assert(!r(1).isNullAt(0) && !r(1).isNullAt(1))
+  }
+}
