@@ -21,8 +21,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  /** Plan-time integer parameter (band counts, dims, …): must be a foldable
+    * literal — the value is baked into the generated code.
+    */
+  private def intArg(e: Expression, fn: String): Int = {
+    require(e.foldable, s"$fn: parameter must be a literal integer, got $e")
+    e.eval(null) match {
+      case n: Number => n.intValue()
+      case v => throw new IllegalArgumentException(s"$fn: expected integer literal, got $v")
+    }
+  }
+
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_simhash60" -> (es => Simhash60(es.head)),
     "graft_shingle_hashes" -> (es => ShingleHashes(es.head)),
-    "graft_shingle_strings" -> (es => ShingleStrings(es.head)))
+    "graft_shingle_strings" -> (es => ShingleStrings(es.head)),
+    "graft_quantize_milli" -> (es => QuantizeMilli(es.head)),
+    "graft_dot_milli" -> (es => DotMilli(es(0), es(1))),
+    "graft_minhash_bands" -> (es => MinhashBands(es(0),
+      intArg(es(1), "graft_minhash_bands"),
+      intArg(es(2), "graft_minhash_bands"),
+      intArg(es(3), "graft_minhash_bands"))),
+    "graft_lsh_bands" -> (es => LshBands(es(0),
+      intArg(es(1), "graft_lsh_bands"),
+      intArg(es(2), "graft_lsh_bands"),
+      intArg(es(3), "graft_lsh_bands"))))
 }

@@ -30,6 +30,22 @@ object VectorFunctions {
     dotQ(a, b).cast("double") /
       (sqrt(dotQ(a, a).cast("double")) * sqrt(dotQ(b, b).cast("double")))
 
+  // ---- Native fast paths ------------------------------------------------
+  // The HOF forms above are the executable spec (and the DuckDB oracle's
+  // definition); these call the codegen'd Catalyst expressions in
+  // graft.expressions, which compute bit-identical values in one JIT loop.
+
+  /** Native [[quantize]] (graft.expressions.QuantizeMilli). */
+  def quantizeN(vec: Column): Column = call_function("graft_quantize_milli", vec)
+
+  /** Native [[dotQ]] (graft.expressions.DotMilli). */
+  def dotQN(a: Column, b: Column): Column = call_function("graft_dot_milli", a, b)
+
+  /** [[cosineQ]] over the native dot product. */
+  def cosineQN(a: Column, b: Column): Column =
+    dotQN(a, b).cast("double") /
+      (sqrt(dotQN(a, a).cast("double")) * sqrt(dotQN(b, b).cast("double")))
+
   /** Random-hyperplane LSH bucket id over a quantized vector.
     *
     * `planes` hyperplane coefficient vectors are derived deterministically

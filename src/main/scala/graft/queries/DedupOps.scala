@@ -80,8 +80,12 @@ object DedupOps {
         // pair ids are distinct'd BEFORE verification: a pair sharing all 4
         // bands would otherwise pay the exact-Jaccard cost 4 times
         val sh = shingled(s, dir)
+        // native codegen'd signature (graft.expressions.MinhashBands);
+        // DedupFunctions.minhashBandKeys is the HOF spec
         val bands = sh
-          .select(col("doc_id"), explode(minhashBandKeys(col("sh"), 12, 4, 3)).as("band_key"))
+          .select(col("doc_id"),
+            explode(call_function("graft_minhash_bands",
+              col("sh"), lit(12), lit(4), lit(3))).as("band_key"))
           .localCheckpoint(false) // signature hashing runs once, not per join side
         val pairs = bands.select(col("band_key"), col("doc_id").as("doc_a"))
           .join(bands.select(col("band_key"), col("doc_id").as("doc_b")), Seq("band_key"))
@@ -227,11 +231,12 @@ object DedupOps {
         // precomputed per VECTOR, not per pair — verification is one dot
         // product + one divide instead of three dots.
         val e = t(s, dir, "embeddings")
-          .select(col("vec_id"), quantize(col("embedding")).as("q"))
-          .withColumn("nrm", sqrt(dotQ(col("q"), col("q")).cast("double")))
+          .select(col("vec_id"), quantizeN(col("embedding")).as("q"))
+          .withColumn("nrm", sqrt(dotQN(col("q"), col("q")).cast("double")))
           .localCheckpoint(false) // quantize + norm run once, not per consumer
         val bands = e.select(col("vec_id"),
-          explode(lshBandKeys(col("q"), 4, 4, 64)).as("band_key"))
+          explode(call_function("graft_lsh_bands",
+            col("q"), lit(4), lit(4), lit(64))).as("band_key"))
           .localCheckpoint(false) // 16 hyperplane dots run once, not per side
         val pairs = bands.select(col("band_key"), col("vec_id").as("vec_a"))
           .join(bands.select(col("band_key"), col("vec_id").as("vec_b")), Seq("band_key"))
@@ -241,7 +246,7 @@ object DedupOps {
           .join(e.select(col("vec_id").as("vec_a"), col("q").as("q_a"), col("nrm").as("n_a")), Seq("vec_a"))
           .join(e.select(col("vec_id").as("vec_b"), col("q").as("q_b"), col("nrm").as("n_b")), Seq("vec_b"))
           .select(col("vec_a"), col("vec_b"),
-            (dotQ(col("q_a"), col("q_b")).cast("double") / (col("n_a") * col("n_b"))).as("cosine"))
+            (dotQN(col("q_a"), col("q_b")).cast("double") / (col("n_a") * col("n_b"))).as("cosine"))
           .filter(col("cosine") >= 0.4)
       },
       Some("""WITH e AS (SELECT vec_id,

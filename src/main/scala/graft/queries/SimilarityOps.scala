@@ -3,7 +3,6 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.DedupFunctions.lshBandKeys
 import graft.functions.VectorFunctions._
 import Tables.t
 
@@ -31,13 +30,13 @@ object SimilarityOps {
       "sim1_brute_topk",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
-          .select(col("vec_id"), quantize(col("embedding")).as("q"))
+          .select(col("vec_id"), quantizeN(col("embedding")).as("q"))
         val queries = e.filter(expr(QuerySetSql))
           .select(col("vec_id").as("query_id"), col("q").as("qq"))
         val cands = e.filter(!expr(QuerySetSql))
         val scored = cands.crossJoin(broadcast(queries))
           .select(col("query_id"), col("vec_id"),
-            cosineQ(col("qq"), col("q")).as("cosine"))
+            cosineQN(col("qq"), col("q")).as("cosine"))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col("vec_id"))
         scored.withColumn("rank", row_number().over(w))
@@ -61,14 +60,15 @@ object SimilarityOps {
       (s, dir) => {
         // scale path: score only bucket-mates of each query's LSH bands
         val e = t(s, dir, "embeddings")
-          .select(col("vec_id"), quantize(col("embedding")).as("q"))
-          .withColumn("band_key", explode(lshBandKeys(col("q"), 4, 4, 64)))
+          .select(col("vec_id"), quantizeN(col("embedding")).as("q"))
+          .withColumn("band_key", explode(call_function("graft_lsh_bands",
+            col("q"), lit(4), lit(4), lit(64))))
         val queries = e.filter(expr(QuerySetSql))
           .select(col("band_key"), col("vec_id").as("query_id"), col("q").as("qq"))
         val cands = e.filter(!expr(QuerySetSql))
         val scored = cands.join(queries, Seq("band_key"))
           .select(col("query_id"), col("vec_id"),
-            cosineQ(col("qq"), col("q")).as("cosine"))
+            cosineQN(col("qq"), col("q")).as("cosine"))
           .distinct()
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col("vec_id"))
