@@ -29,14 +29,19 @@ object SimilarityOps {
     Q(
       "sim1_brute_topk",
       (s, dir) => {
+        // norms are computed per VECTOR (narrow map before the join), not
+        // per pair — scoring is one dot + one divide, same expression
+        // order as cosineQ so the doubles stay bit-identical
         val e = t(s, dir, "embeddings")
           .select(col("vec_id"), quantizeN(col("embedding")).as("q"))
+          .withColumn("nrm", sqrt(dotQN(col("q"), col("q")).cast("double")))
         val queries = e.filter(expr(QuerySetSql))
-          .select(col("vec_id").as("query_id"), col("q").as("qq"))
+          .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nrm").as("qn"))
         val cands = e.filter(!expr(QuerySetSql))
         val scored = cands.crossJoin(broadcast(queries))
           .select(col("query_id"), col("vec_id"),
-            cosineQN(col("qq"), col("q")).as("cosine"))
+            (dotQN(col("qq"), col("q")).cast("double") /
+              (col("qn") * col("nrm"))).as("cosine"))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col("vec_id"))
         scored.withColumn("rank", row_number().over(w))
@@ -61,14 +66,17 @@ object SimilarityOps {
         // scale path: score only bucket-mates of each query's LSH bands
         val e = t(s, dir, "embeddings")
           .select(col("vec_id"), quantizeN(col("embedding")).as("q"))
+          .withColumn("nrm", sqrt(dotQN(col("q"), col("q")).cast("double")))
           .withColumn("band_key", explode(call_function("graft_lsh_bands",
             col("q"), lit(4), lit(4), lit(64))))
         val queries = e.filter(expr(QuerySetSql))
-          .select(col("band_key"), col("vec_id").as("query_id"), col("q").as("qq"))
+          .select(col("band_key"), col("vec_id").as("query_id"),
+            col("q").as("qq"), col("nrm").as("qn"))
         val cands = e.filter(!expr(QuerySetSql))
         val scored = cands.join(queries, Seq("band_key"))
           .select(col("query_id"), col("vec_id"),
-            cosineQN(col("qq"), col("q")).as("cosine"))
+            (dotQN(col("qq"), col("q")).cast("double") /
+              (col("qn") * col("nrm"))).as("cosine"))
           .distinct()
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col("vec_id"))
