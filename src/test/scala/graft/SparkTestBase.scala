@@ -12,6 +12,9 @@ object SharedSpark {
       .withExtensions(new graft.expressions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // match GraftSession: the synthetic events table carries parquet
+      // TIMESTAMP(NANOS), read as epoch-nanos long
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")

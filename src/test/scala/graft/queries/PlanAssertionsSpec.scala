@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.SparkTestBase
+
+/** Physical-plan shape assertions — the "would this survive a 100×
+  * scale-up" properties, machine-checked instead of eyeballed from
+  * `.explain("formatted")`:
+  *
+  *  - no query in the registry ever plans a CartesianProduct (intentional
+  *    small-side cross joins must be broadcast nested-loop);
+  *  - filters and projections reach the parquet scans (PushedFilters /
+  *    narrow ReadSchema);
+  *  - dimension joins broadcast instead of shuffling the fact side;
+  *  - aggregations partial-aggregate map-side (two HashAggregate levels);
+  *  - the dedup/text hot path stays inside whole-stage codegen.
+  */
+class PlanAssertionsSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Registry.byName(name).fn(spark, sf).queryExecution.executedPlan.toString
+
+  test("no registry query plans a CartesianProduct") {
+    Registry.all.foreach { q =>
+      val p = plan(q.name)
+      assert(!p.contains("CartesianProduct"),
+        s"${q.name} plans a CartesianProduct:\n$p")
+    }
+  }
+
+  test("s1_scan_prune: filter is pushed to the parquet scan, schema pruned") {
+    val p = plan("s1_scan_prune")
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+    // projection narrow: scanned schema must not include unused wide columns
+    assert(!p.contains("l_comment"), p)
+  }
+
+  test("j2_broadcast_enrich: both dimension joins broadcast") {
+    val p = plan("j2_broadcast_enrich")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("sim1_brute_topk: the query set is broadcast, never shuffled") {
+    val p = plan("sim1_brute_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q1_agg: map-side partial aggregation precedes the shuffle") {
+    val p = plan("q1_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("a7_dedup_first_wins: dedup is aggregate-based, no sort anywhere") {
+    val p = plan("a7_dedup_first_wins")
+    assert(!p.contains("Sort "), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("d3_simhash: native expression runs inside whole-stage codegen") {
+    val qe = Registry.byName("d3_simhash").fn(spark, sf).queryExecution
+    val p = qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(p.contains("WholeStageCodegen"), p.take(2000))
+    assert(p.toLowerCase.contains("graft_simhash60"), p.take(2000))
+  }
+
+  test("j1_rollup_ids: rollup partial-aggregates map-side") {
+    val p = plan("j1_rollup_ids")
+    assert("ObjectHashAggregate|HashAggregate".r.findAllIn(p).nonEmpty, p)
+  }
+}
