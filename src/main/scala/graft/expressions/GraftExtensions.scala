@@ -36,6 +36,7 @@ object GraftExtensions {
     "graft_simhash60" -> (es => Simhash60(es.head)),
     "graft_shingle_hashes" -> (es => ShingleHashes(es.head)),
     "graft_shingle_strings" -> (es => ShingleStrings(es.head)),
+    "graft_content_fingerprint" -> (es => ContentFingerprint(es.head)),
     "graft_quantize_milli" -> (es => QuantizeMilli(es.head)),
     "graft_dot_milli" -> (es => DotMilli(es(0), es(1))),
     "graft_minhash_bands" -> (es => MinhashBands(es(0),

@@ -54,6 +54,18 @@ case class ShingleHashes(child: Expression) extends NativeTextExpression {
   override def prettyName: String = "graft_shingle_hashes"
 }
 
+/** Normalized-content md5 fingerprint (see `TextFunctions.contentFingerprint`). */
+case class ContentFingerprint(child: Expression) extends NativeTextExpression {
+  override def dataType: DataType = StringType
+  override protected def kernelCall(c: String): String =
+    s"graft.expressions.TextKernels.contentFingerprint($c)"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.contentFingerprint(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): ContentFingerprint =
+    copy(child = newChild)
+  override def prettyName: String = "graft_content_fingerprint"
+}
+
 /** 3-gram shingle strings with multiplicity (see `TextFunctions.shingles`). */
 case class ShingleStrings(child: Expression) extends NativeTextExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

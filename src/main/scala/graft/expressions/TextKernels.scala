@@ -101,6 +101,38 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Order-insensitive-normalized content fingerprint: md5 hex of the
+    * lowercased, whitespace-normalized token join. Mirrors
+    * `TextFunctions.contentFingerprint` — lowercasing via
+    * `UTF8String.toLowerCase`, the same call Spark's `lower()` makes.
+    */
+  def contentFingerprint(text: UTF8String): UTF8String = {
+    val toks = text.toLowerCase.toString.split("\\s+")
+    val sb = new java.lang.StringBuilder(text.numBytes)
+    var i = 0
+    var first = true
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) {
+        if (!first) sb.append(' ')
+        sb.append(toks(i))
+        first = false
+      }
+      i += 1
+    }
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = new Array[Byte](32)
+    val alphabet = "0123456789abcdef"
+    var j = 0
+    while (j < 16) {
+      hex(2 * j) = alphabet.charAt((d(j) >> 4) & 0xf).toByte
+      hex(2 * j + 1) = alphabet.charAt(d(j) & 0xf).toByte
+      j += 1
+    }
+    UTF8String.fromBytes(hex)
+  }
+
   /** Word-3-gram strings with multiplicity (space-joined), document order;
     * fewer than 3 tokens → empty. Mirrors `TextFunctions.shingles`.
     */

@@ -64,7 +64,7 @@ object DedupOps {
         // exact dedup: hash-groupBy on the normalized content fingerprint,
         // min doc_id is the canonical survivor
         t(s, dir, "documents")
-          .groupBy(contentFingerprint(col("text")).as("content_md5"))
+          .groupBy(call_function("graft_content_fingerprint", col("text")).as("content_md5"))
           .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies")),
       Some("""SELECT md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''), ' ')) AS content_md5,
               min(doc_id) AS keeper_doc_id, count(*) AS n_copies

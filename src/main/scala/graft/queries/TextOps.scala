@@ -140,7 +140,7 @@ object TextOps {
       (s, dir) =>
         t(s, dir, "documents").select(
           col("doc_id"),
-          contentFingerprint(col("text")).as("content_md5"),
+          call_function("graft_content_fingerprint", col("text")).as("content_md5"),
           rollingHash(tokens(col("text"))).as("rolling_hash")),
       Some("""SELECT doc_id,
               md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''), ' ')) AS content_md5,

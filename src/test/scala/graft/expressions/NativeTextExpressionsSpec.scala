@@ -49,6 +49,15 @@ class NativeTextExpressionsSpec extends SparkTestBase {
     assert(got.toSeq == spec.toSeq)
   }
 
+  test("graft_content_fingerprint matches the HOF contentFingerprint spec") {
+    val mixed = docs.union(Seq("MiXeD CaSe  WORDS and\tÜmläuts ÉÉ").toDF("text"))
+    val spec = mixed.select(graft.functions.TextFunctions.contentFingerprint(col("text")))
+      .as[String].collect()
+    val got = mixed.select(call_function("graft_content_fingerprint", col("text")))
+      .as[String].collect()
+    assert(got.toSeq == spec.toSeq)
+  }
+
   test("null input yields null, not a crash") {
     val n = Seq[Option[String]](None, Some("a b c d")).toDF("text")
     val r = n.select(
