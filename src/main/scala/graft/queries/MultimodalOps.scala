@@ -33,9 +33,11 @@ object MultimodalOps {
 
     Q(
       "mm2_decode_features",
-      // no SQL oracle: the stub decoder's per-block byte fold is
-      // Scala-side; covered by MediaPipelineSpec golden values instead.
-      // Aggregate so the result is small and stable at any scale factor.
+      // The stub decoder's per-block modular byte fold IS SQL-expressible
+      // (the corpus is ASCII, so bytes == code points), so even the decode
+      // path gets an exact oracle. Features are floats of exact milliunits
+      // (x/1000f, x < 1000): round(f*1000) recovers x losslessly, keeping
+      // the aggregate in integer space — no float-summation-order risk.
       (s, dir) => {
         val media = MediaPipeline.toMediaFrame(
           t(s, dir, "documents").withColumn("payload", col("text").cast("binary")),
@@ -43,9 +45,24 @@ object MultimodalOps {
         val feats = MediaPipeline.decodeFeatures(media, MediaPipeline.StubDecoder)
         feats.groupBy(col("media_id"))
           .agg(count(lit(1)).as("n_frames"),
-            sum(element_at(col("feature"), 1).cast("double")).as("sum_f0"))
+            sum(round(element_at(col("feature"), 1).cast("double") * 1000)
+              .cast("long")).as("sum_f0_milli"))
       },
-      None,
+      Some("""WITH b AS (
+                SELECT doc_id, text, octet_length(encode(text)) AS n,
+                       unnest(range(0, (octet_length(encode(text)) + 63) // 64)) AS bi
+                FROM documents),
+              f AS (
+                SELECT doc_id, bi,
+                  list_reduce(
+                    list_prepend(17::BIGINT,
+                      [ascii(substring(text, (bi*64 + p)::INT + 1, 1))::BIGINT
+                       for p in range(0, least(64, n - bi*64), 8)]),
+                    (acc, x) -> (acc * 31 + x) % 1000000007) % 1000 AS f0_milli
+                FROM b)
+              SELECT doc_id AS media_id, count(*) AS n_frames,
+                     sum(f0_milli)::BIGINT AS sum_f0_milli
+              FROM f GROUP BY 1"""),
       doc = "Multimodal: per-partition stub decode -> per-media frame features")
   )
 }
