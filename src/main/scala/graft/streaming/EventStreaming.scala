@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.Row
 
@@ -47,6 +47,90 @@ object EventStreaming {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Open-session state: epoch-micros bounds plus running aggregates. */
+  final case class SessionState(startUs: Long, lastUs: Long, nEvents: Long, sumValue: Double)
+
+  /** One closed session per user. */
+  final case class Session(
+      user_id: Long,
+      session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp,
+      n_events: Long,
+      sum_value: Double)
+
+  /** Custom-state sessionization via `flatMapGroupsWithState`: per-user
+    * sessions close after `gap` of event-time inactivity.
+    *
+    * Sessions that close *within* a batch (a later event arrives more than
+    * `gap` after the previous one) are emitted immediately; the open tail
+    * session is held as `GroupState` and flushed by the event-time timeout
+    * once the watermark passes `last + gap` — so state size is bounded by
+    * the number of concurrently active users inside the watermark horizon,
+    * not by history. Each state value is four scalars (~48 bytes): 10M
+    * concurrent users ≈ 500 MB across the cluster, partitioned by the
+    * group key's shuffle.
+    */
+  def sessionize(events: DataFrame, gap: String, watermark: String): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    require(gapUs.months == 0 && gapUs.days == 0, "session gap must be sub-day")
+
+    def close(userId: Long, st: SessionState): Session =
+      Session(userId,
+        new java.sql.Timestamp(st.startUs / 1000),
+        new java.sql.Timestamp(st.lastUs / 1000),
+        st.nEvents, st.sumValue)
+
+    // the watermarked `ts` attribute must survive up to the stateful
+    // operator (projecting it to a long strips the watermark tag), so the
+    // micros conversion happens inside the lambda
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+            state: GroupState[SessionState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            // watermark passed last + gap: flush the open session
+            val out = state.getOption.map(close(userId, _))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.map { case (_, ts, v) => (ts.getTime * 1000L, v) }
+              .toSeq.sortBy(_._1)
+            var open = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { case (us, v) =>
+              open match {
+                case Some(st) if us - st.lastUs <= gapUs.microseconds =>
+                  open = Some(st.copy(
+                    lastUs = math.max(st.lastUs, us),
+                    nEvents = st.nEvents + 1, sumValue = st.sumValue + v))
+                case Some(st) =>
+                  closed += close(userId, st)
+                  open = Some(SessionState(us, us, 1L, v))
+                case None =>
+                  open = Some(SessionState(us, us, 1L, v))
+              }
+            }
+            open.foreach { st =>
+              state.update(st)
+              // must exceed the current watermark (late-but-kept events can
+              // have last + gap already behind it)
+              state.setTimeoutTimestamp(math.max(
+                (st.lastUs + gapUs.microseconds) / 1000,
+                state.getCurrentWatermarkMs + 1))
+            }
+            closed.result().iterator
+          }
+      }
+  }
 
   /** File-arrival streaming source over a directory of parquet events —
     * the incremental form of the batch table scan. `maxFilesPerTrigger`

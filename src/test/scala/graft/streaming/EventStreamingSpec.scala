@@ -44,6 +44,39 @@ class EventStreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionize closes sessions on event-time gaps and on watermark timeout") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def at(id: Long, hm: String, user: Long, v: Double) =
+      StreamEvent(id, Timestamp.valueOf(s"2024-01-01 $hm:00"), user, "click", v, "{}")
+
+    val mem = MemoryStream[StreamEvent]
+    val sessions = EventStreaming.sessionize(mem.toDF(), "1 hour", "30 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 30min apart (one session), then a 3.5h gap
+      // closes it within the batch and opens a new one at 05:00
+      mem.addData(at(1, "01:00", 1, 1.0), at(2, "01:30", 1, 2.0), at(3, "05:00", 1, 4.0))
+      q.processAllAvailable()
+      val closed1 = s.sql("SELECT user_id, n_events, sum_value FROM sess")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(closed1.toSeq == Seq((1L, 2L, 3.0)))
+
+      // another user far in the future advances the watermark past
+      // 05:00 + gap; the next batch's timeout flushes user 1's open session
+      mem.addData(at(4, "10:00", 2, 7.0))
+      q.processAllAvailable()
+      mem.addData(at(5, "10:05", 2, 8.0))
+      q.processAllAvailable()
+      val all = s.sql(
+        "SELECT user_id, hour(session_start), n_events, sum_value FROM sess ORDER BY user_id, 2")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      assert(all.toSeq == Seq((1L, 1, 2L, 3.0), (1L, 5, 1L, 4.0)))
+    } finally q.stop()
+  }
+
   test("dedupedEvents drops duplicate event_ids within the watermark") {
     val s = spark
     import s.implicits._
