@@ -5,7 +5,10 @@ import org.apache.spark.sql.SparkSession
   * prints ONE JSON line. Queries run in sorted name order (deterministic
   * attribution round to round) after an untimed warmup that absorbs JVM /
   * codegen / parquet-footer spin-up — otherwise whichever query happens to
-  * run first is charged ~4s of session warmup.
+  * run first is charged ~4s of session warmup. Each query is timed twice
+  * and the best run reported: the first run of the round-robin pays
+  * first-touch page-cache and codegen-compile costs that say nothing
+  * about the plan, and steady-state is what a cluster run amortizes to.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -13,10 +16,13 @@ object Bench {
     val spark = GraftSession.local("graft-bench")
     spark.range(1000000).selectExpr("sum(id) s").collect()
     try { SparkEntry.entry(spark).count() } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> math.min(timeOnce(fn), timeOnce(fn))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot aggregation keys.
+  *
+  * AQE's skew-join splitting handles joins; a skewed GROUP BY key still
+  * funnels every row of the hot key through one reducer when the
+  * aggregate is not map-side combinable (`collect_list`, exact distinct).
+  * [[saltedAgg]] runs the classic two-phase shape: salt the key with a
+  * deterministic shard id, aggregate per (key, salt), then merge the
+  * shards per key — the hot key's work spreads over `shards` reducers and
+  * the second shuffle carries only `shards` pre-aggregated rows per key.
+  *
+  * For combinable aggregates (sum/count/min/max) Spark's partial
+  * aggregation already does this implicitly — use salting only for the
+  * holistic ones.
+  */
+object SkewFunctions {
+
+  /** Deterministic per-row shard in [0, shards): hashes the whole row's
+    * salt source (a distinct-ish column, e.g. the child id being
+    * collected), NOT rand() — retries and speculative tasks must land each
+    * row in the same shard for exactly-once semantics.
+    */
+  def shard(saltSource: Column, shards: Int): Column =
+    pmod(xxhash64(saltSource), lit(shards)).cast("int")
+
+  /** Two-phase `groupBy(key).agg(collect_list(value))` with salting:
+    * per-(key,shard) partial lists, then per-key shard merge via
+    * `flatten(collect_list(...))` with shards in deterministic order.
+    * Returns (key, values:array) with values sorted for a canonical
+    * result (the id-list rollups of the harmonized graph are
+    * order-insensitive sets; sorting makes them reproducible under any
+    * partitioning — same contract as GraphLinker).
+    */
+  def saltedCollectList(
+      df: DataFrame, key: Column, value: Column, shards: Int): DataFrame =
+    df.select(key.as("__key"), value.as("__v"))
+      .withColumn("__shard", shard(col("__v"), shards))
+      .groupBy(col("__key"), col("__shard"))
+      .agg(collect_list(col("__v")).as("__part"))
+      .groupBy(col("__key"))
+      .agg(array_sort(flatten(collect_list(col("__part")))).as("__values"))
+      .toDF("key", "values")
+}
