@@ -138,13 +138,20 @@ object JoinAggOps {
         // A7: cross-file dedup — two overlapping extracts, first
         // transformation wins per content key; report per-source survivors.
         // min(ord) per key instead of a row_number window: both shuffles
-        // partial-aggregate map-side and nothing gets sorted.
-        val li = t(s, dir, "lineitem")
-        val key = md5(concat_ws("|",
-          col("l_orderkey"), col("l_linenumber"), col("l_quantity")))
-        val a = li.filter(col("l_quantity") > 25).withColumn("__ord", lit(1))
-        val b = li.filter(col("l_quantity") > 10).withColumn("__ord", lit(2))
-        a.unionByName(b).select(key.as("__key"), col("__ord"))
+        // partial-aggregate map-side and nothing gets sorted. The two
+        // extracts filter one base table, so instead of a self-union (two
+        // scans, two hashes per overlapping row) the scan is shared and
+        // each row EXPLODES into its source memberships — the multiset of
+        // (key, ord) pairs entering the groupBy is identical, the read is
+        // halved. The shuffle key is the 16-byte binary md5, not its
+        // 32-char hex form.
+        t(s, dir, "lineitem")
+          .filter(col("l_quantity") > 10)
+          .select(
+            unhex(md5(concat_ws("|",
+              col("l_orderkey"), col("l_linenumber"), col("l_quantity")))).as("__key"),
+            explode(when(col("l_quantity") > 25, array(lit(1), lit(2)))
+              .otherwise(array(lit(2)))).as("__ord"))
           .groupBy(col("__key")).agg(min(col("__ord")).as("__won"))
           .groupBy(when(col("__won") === 1, lit("xform_a"))
             .otherwise(lit("xform_b")).as("__src"))

@@ -53,13 +53,27 @@ object RuleOps {
         // V4: every rule row whose 2-field conjunction matches the source
         // row emits one output record (the reference emits per matching
         // rule, not first-match). Tiny constant rule table → broadcast
-        // nested-loop join; the orders fact never shuffles.
-        val rules = broadcast(v4RulesDf(s))
-        t(s, dir, "orders")
-          .join(
+        // nested-loop join; the orders fact never shuffles. Normalization
+        // (lower/trim, blank tests) is projected BEFORE the join on both
+        // sides so the per-(row,rule) inner loop only compares.
+        val rules = broadcast(v4RulesDf(s)
+          .withColumn("p_norm", lower(trim(col("m_priority"))))
+          .withColumn("s_norm", lower(trim(col("m_status")))))
+        val o = t(s, dir, "orders")
+          .withColumn("op_norm", lower(trim(col("o_orderpriority"))))
+          .withColumn("op_blank", col("o_orderpriority").isNull ||
+            trim(col("o_orderpriority")) === "")
+          .withColumn("os_norm", lower(trim(col("o_orderstatus"))))
+          .withColumn("os_blank", col("o_orderstatus").isNull ||
+            trim(col("o_orderstatus")) === "")
+        def m(pat: Column, norm: Column, srcNorm: Column, srcBlank: Column): Column =
+          when(pat === "*", lit(true))
+            .when(pat === "+", !srcBlank)
+            .otherwise(srcNorm === norm)
+        o.join(
             rules,
-            ruleMatch(col("o_orderpriority"), col("m_priority")) &&
-              ruleMatch(col("o_orderstatus"), col("m_status")))
+            m(col("m_priority"), col("p_norm"), col("op_norm"), col("op_blank")) &&
+              m(col("m_status"), col("s_norm"), col("os_norm"), col("os_blank")))
           .select(col("o_orderkey"), col("rule_id"), col("outcome"))
       },
       Some(s"""SELECT o_orderkey, rule_id, outcome
