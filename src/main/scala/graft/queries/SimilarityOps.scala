@@ -16,6 +16,11 @@ import Tables.t
   *  - `sim2_lsh_ann`: banded random-hyperplane LSH — the full-corpus scale
   *    path. Bucketing is a narrow map + one shuffle; only bucket-mates are
   *    scored. Recall tunes with bands x planes.
+  *  - `sim3_ivf_ann`: inverted-file index — the other production scale
+  *    path. A small coarse quantizer partitions the corpus into cells;
+  *    queries probe their `nprobe` nearest cells and score only those
+  *    members. At 100 TB the cell id is the table's partition key, so a
+  *    probe is a partition-pruned scan, not a shuffle.
   *
   * All scores are computed over integer-quantized vectors (see
   * VectorFunctions) so both engines produce bit-identical doubles.
@@ -24,6 +29,11 @@ object SimilarityOps {
 
   private val QuerySetSql = "vec_id < 10"
   private val K = 5
+  // IVF coarse quantizer: cells seeded from corpus vectors 10..17 — a
+  // deterministic stand-in for k-means training (centroid CHOICE only
+  // affects recall, never correctness of the in-cell exact scoring)
+  private val CentSetSql = "vec_id >= 10 AND vec_id < 18"
+  private val NProbe = 2
 
   def qs: Seq[Q] = Seq(
     Q(
@@ -102,6 +112,67 @@ object SimilarityOps {
                  (SELECT *, row_number() OVER (PARTITION BY query_id
                     ORDER BY cosine DESC, vec_id) AS rank FROM scored)
                WHERE rank <= $K"""),
-      doc = "ANN scale path: banded hyperplane LSH bucket join + in-bucket rank")
+      doc = "ANN scale path: banded hyperplane LSH bucket join + in-bucket rank"),
+
+    Q(
+      "sim3_ivf_ann",
+      (s, dir) => {
+        // IVF: assign every corpus vector to its nearest cell (broadcast
+        // centroid table, one narrow pass); queries probe their NProbe
+        // nearest cells; exact cosine only inside probed cells.
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), quantizeN(col("embedding")).as("q"))
+          .withColumn("nrm", sqrt(dotQN(col("q"), col("q")).cast("double")))
+        val cents = broadcast(e.filter(expr(CentSetSql))
+          .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("nrm").as("cn")))
+        def nearestCells(side: org.apache.spark.sql.DataFrame, keep: Int) = {
+          val scored = side.crossJoin(cents)
+            .select(col("vec_id"), col("q"), col("nrm"), col("cent_id"),
+              (dotQN(col("q"), col("cq")).cast("double") /
+                (col("nrm") * col("cn"))).as("ccos"))
+          val w = Window.partitionBy(col("vec_id"))
+            .orderBy(col("ccos").desc, col("cent_id"))
+          scored.withColumn("crank", row_number().over(w))
+            .filter(col("crank") <= keep)
+        }
+        val assigned = nearestCells(e.filter(!expr(QuerySetSql)), 1)
+          .select(col("cent_id"), col("vec_id"), col("q"), col("nrm"))
+        val probes = nearestCells(e.filter(expr(QuerySetSql)), NProbe)
+          .select(col("cent_id"), col("vec_id").as("query_id"),
+            col("q").as("qq"), col("nrm").as("qn"))
+        val scored = assigned.join(probes, Seq("cent_id"))
+          .select(col("query_id"), col("vec_id"),
+            (dotQN(col("qq"), col("q")).cast("double") /
+              (col("qn") * col("nrm"))).as("cosine"))
+          .distinct() // a vector probed via both cells scores once
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= K)
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+                 list_transform(embedding, x -> round(x*1000)::BIGINT) AS q
+                 FROM embeddings),
+               n AS (SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS nrm FROM e),
+               cents AS (SELECT vec_id AS cent_id, q AS cq, nrm AS cn
+                 FROM n WHERE $CentSetSql),
+               cell AS (SELECT vec_id, q, nrm, cent_id, crank FROM
+                 (SELECT n.vec_id, n.q, n.nrm, cents.cent_id,
+                    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                      list_dot_product(n.q, cents.cq) / (n.nrm * cents.cn) DESC,
+                      cents.cent_id) AS crank
+                  FROM n, cents)),
+               assigned AS (SELECT cent_id, vec_id, q, nrm FROM cell
+                 WHERE crank = 1 AND NOT ($QuerySetSql)),
+               probes AS (SELECT cent_id, vec_id AS query_id, q AS qq, nrm AS qn
+                 FROM cell WHERE crank <= $NProbe AND $QuerySetSql),
+               scored AS (SELECT DISTINCT query_id, a.vec_id,
+                 list_dot_product(qq, a.q) / (qn * a.nrm) AS cosine
+                 FROM assigned a JOIN probes USING (cent_id))
+               SELECT query_id, vec_id, cosine, rank FROM
+                 (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id) AS rank FROM scored)
+               WHERE rank <= $K"""),
+      doc = "ANN scale path 2: IVF cell assignment + nprobe partition-pruned search")
   )
 }
