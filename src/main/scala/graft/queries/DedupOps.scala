@@ -192,13 +192,19 @@ object DedupOps {
         // removal does in production dedup.
         val sh = shingled(s, dir)
         val inverted = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-        val rare = inverted.groupBy(col("g")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= 5)
-        val cand = inverted.join(rare.select(col("g")), Seq("g"))
+        // ONE shuffle builds the per-shingle posting lists; rare-shingle
+        // filtering and in-bucket pair generation are then narrow (the old
+        // count-then-join-back shape shuffled the inverted index twice
+        // more). Buckets are capped at 5 docs, so the explode² is ≤ 25
+        // rows per bucket.
+        val buckets = inverted.groupBy(col("g"))
+          .agg(collect_list(col("doc_id")).as("ds"))
+          .filter(size(col("ds")).between(2, 5))
         // distinct pair ids first: a pair sharing 15 rare shingles must not
         // pay 15 exact-Jaccard verifications
-        val pairs = cand.select(col("g"), col("doc_id").as("doc_a"))
-          .join(cand.select(col("g"), col("doc_id").as("doc_b")), Seq("g"))
+        val pairs = buckets
+          .select(explode(col("ds")).as("doc_a"), col("ds"))
+          .select(col("doc_a"), explode(col("ds")).as("doc_b"))
           .filter(col("doc_a") < col("doc_b"))
           .select(col("doc_a"), col("doc_b")).distinct()
         pairs
