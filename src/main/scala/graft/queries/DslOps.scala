@@ -213,7 +213,7 @@ object DslOps {
         // multi-value source "1;URGENT" → one cloned row per distinct
         // sorted value with derived ids okey_1..okey_n
         val src = t(s, dir, "orders")
-          .withColumn("prio_multi", regexp_replace(col("o_orderpriority"), "-", ";"))
+          .withColumn("prio_multi", translate(col("o_orderpriority"), "-", ";"))
           .withColumn("okey_str", col("o_orderkey").cast("string"))
         SubSourceExploder.explode(src, "prio_multi", "okey_str")
           .select(col("o_orderkey"), col("okey_str").as("sub_id"),
