@@ -80,11 +80,20 @@ def main():
         else:
             results[name] = f"PASS rows={len(gr)}"
 
-    npass = sum(1 for v in results.values() if v.startswith("PASS"))
+    # NO-ORACLE with rows>0 is the driver's weaker rows-only check, not a
+    # failure (SKILL contract: oracle-less ops are acceptable)
+    def ok(v):
+        if v.startswith("PASS"):
+            return True
+        if v.startswith("NO-ORACLE"):
+            return int(v.split("rows=")[1]) > 0
+        return False
+
+    nok = sum(1 for v in results.values() if ok(v))
     for k in sorted(results):
-        print(f"{'OK ' if results[k].startswith('PASS') else 'BAD'} {k}: {results[k]}")
-    print(f"\n{npass}/{len(results)} PASS")
-    sys.exit(0 if npass == len(results) else 1)
+        print(f"{'OK ' if ok(results[k]) else 'BAD'} {k}: {results[k]}")
+    print(f"\n{nok}/{len(results)} OK")
+    sys.exit(0 if nok == len(results) else 1)
 
 
 if __name__ == "__main__":

@@ -44,7 +44,9 @@ case class QuantizeMilli(child: Expression) extends UnaryExpression {
 }
 
 /** Exact integer dot product of two quantized vectors
-  * (`VectorFunctions.dotQ` spec).
+  * (`VectorFunctions.dotQ` spec). Length mismatch yields NULL, exactly
+  * like the HOF spec, whose `zip_with` pads the shorter side with nulls
+  * and the null addend nulls the aggregate.
   */
 case class DotMilli(left: Expression, right: Expression) extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
@@ -53,11 +55,21 @@ case class DotMilli(left: Expression, right: Expression) extends BinaryExpressio
       s"$prettyName requires two ARRAY<BIGINT> arguments, got ${l.sql}, ${r.sql}")
   }
   override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
   override def dataType: DataType = LongType
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorKernels.dotMilli(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]
+    val bb = b.asInstanceOf[ArrayData]
+    if (aa.numElements() != bb.numElements()) null
+    else VectorKernels.dotMilli(aa, bb)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.VectorKernels.dotMilli($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() != $b.numElements()) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.expressions.VectorKernels.dotMilli($a, $b);
+      }""")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotMilli =
     copy(left = newLeft, right = newRight)

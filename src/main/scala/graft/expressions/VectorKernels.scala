@@ -71,9 +71,10 @@ object VectorKernels {
     new GenericArrayData(out)
   }
 
-  /** Exact integer dot product of two quantized vectors. Contract: equal
-    * dimensionality (the engine only ever dots same-corpus vectors);
-    * trailing elements of a longer side are ignored.
+  /** Exact integer dot product of two quantized vectors. [[DotMilli]]
+    * pre-checks equal dimensionality and yields NULL on mismatch (HOF
+    * parity); this kernel therefore only ever sees equal-length inputs
+    * (the min() below is belt-and-braces for direct callers).
     */
   def dotMilli(a: ArrayData, b: ArrayData): Long = {
     val n = math.min(a.numElements(), b.numElements())
@@ -124,7 +125,11 @@ object VectorKernels {
 
   /** Banded random-hyperplane LSH keys of a quantized vector: `bands` keys
     * of `planesPerBand` sign bits each, formatted `"b#bits"` exactly like
-    * `DedupFunctions.lshBandKeys`.
+    * `DedupFunctions.lshBandKeys`. Contract: the vector must have exactly
+    * `dims` elements (one corpus, one dimensionality — enforced upstream
+    * by the embedding schema); a shorter vector is treated as zero-padded,
+    * which is NOT the HOF's null-propagation and is why the parity claim
+    * is scoped to equal-dims inputs.
     */
   def lshBands(q: ArrayData, bands: Int, planesPerBand: Int, dims: Int): ArrayData = {
     val cs = planeTable(bands * planesPerBand, dims)

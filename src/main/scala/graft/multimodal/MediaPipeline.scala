@@ -50,9 +50,15 @@ object MediaPipeline {
     * an OOM on the first skewed shard.
     */
   def repartitionByBytes(media: DataFrame, bytesPerPartition: Long): DataFrame = {
-    val totalBytes = media.agg(sum(col("meta.n_bytes"))).head.getLong(0)
-    val parts = math.max(1, (totalBytes / bytesPerPartition).toInt)
-    media.repartition(parts, col("media_id"))
+    // sum() over zero rows is NULL → coalesce to 0 and leave an empty
+    // frame untouched (a getLong on the null cell would NPE)
+    val totalBytes =
+      media.agg(coalesce(sum(col("meta.n_bytes")), lit(0L))).head.getLong(0)
+    if (totalBytes == 0L) media
+    else {
+      val parts = math.max(1, (totalBytes / bytesPerPartition).toInt)
+      media.repartition(parts, col("media_id"))
+    }
   }
 
   /** One decoded unit (an image, an audio window, a sampled frame). */

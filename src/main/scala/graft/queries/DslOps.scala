@@ -104,7 +104,10 @@ object DslOps {
            "default_value": "Not Reported",
            "replacement_values": [{"old_value": "*", "new_value": "{race}"}]}
         ]}"""
+        // the array-typed races column is joined to a ';' string at the
+        // query boundary (driver's pandas compare can't hash array cells)
         build(s, xform, "profile", profileSource(s, dir), col("c_custkey").cast("string"))
+          .withColumn("races", array_join(col("races"), ";"))
       },
       Some(s"""WITH src AS (
            SELECT c.*, n.n_name, n.n_regionkey + 3 AS bad_region,
@@ -154,8 +157,8 @@ object DslOps {
                 THEN bad_region || ' : ' ||
                      (['Africa','America','Asia','Europe','Middle East'])[bad_region + 1]
                 ELSE 'No Region' END AS region_pv,
-           CASE WHEN len(race3.canon) > 0 THEN race3.canon
-                ELSE ['Not Reported'] END AS races
+           array_to_string(CASE WHEN len(race3.canon) > 0 THEN race3.canon
+                ELSE ['Not Reported'] END, ';') AS races
          FROM src JOIN race3 USING (c_custkey)"""),
       doc = "P1-P6/F1-F6: replacement chains, defaults, gating, macros, enum codes"),
 

@@ -95,17 +95,19 @@ object EtlGraphOps {
       "etl1_harmonize_participants",
       (s, dir) => {
         val nodes = harmonized(s, dir)
+        // id-lists joined to ';' strings at the query boundary (driver's
+        // pandas compare can't hash array cells; K3 report parity anyway)
         nodes("participant").select(
           col("participant_id"),
           col("segment"),
-          col("`survival.survival_id`").as("survival_ids"),
-          col("`diagnosis.diagnosis_id`").as("diagnosis_ids"),
+          array_join(col("`survival.survival_id`"), ";").as("survival_ids"),
+          array_join(col("`diagnosis.diagnosis_id`"), ";").as("diagnosis_ids"),
           col("`study.study_id`").as("study_id"))
       },
       Some("""SELECT c_custkey::VARCHAR AS participant_id,
               c_mktsegment AS segment,
-              [c_custkey::VARCHAR] AS survival_ids,
-              [c_custkey::VARCHAR] AS diagnosis_ids,
+              c_custkey::VARCHAR AS survival_ids,
+              c_custkey::VARCHAR AS diagnosis_ids,
               'STUDY01' AS study_id
               FROM customer"""),
       doc = "Harmonizer end-to-end: participant frame with linked id-lists"),
@@ -151,11 +153,11 @@ object EtlGraphOps {
           "profile",
           Seq(("xform_a", 1, profiles(1, 100)), ("xform_b", 2, profiles(50, 150))),
           participantCol = Some("profile_id"))
-        report
+        report.withColumn("transformations", array_join(col("transformations"), ";"))
       },
       Some("""SELECT c_custkey::VARCHAR AS participant_id, 'profile' AS node,
               2::BIGINT AS occurrences,
-              ['xform_a', 'xform_b'] AS transformations
+              'xform_a;xform_b' AS transformations
               FROM customer WHERE c_custkey BETWEEN 50 AND 100"""),
       doc = "A7/K3: cross-transformation dedup duplicate report with provenance"),
 

@@ -26,25 +26,28 @@ object JoinAggOps {
       (s, dir) => {
         // A1/J1: parent accumulates sorted child-id list (GraphLinker shape:
         // one shuffle, map-side combined; left join keeps childless parents)
+        // id lists surface as ';'-joined strings: the driver's pandas
+        // compare can't sort/hash array cells, and the reference's report
+        // sinks are delimited strings anyway (SURVEY §2.2 K3)
         val rollup = t(s, dir, "orders")
           .groupBy(col("o_custkey"))
           .agg(
-            sort_array(collect_list(col("o_orderkey"))).as("order_ids"),
+            array_join(sort_array(collect_list(col("o_orderkey"))), ";").as("order_ids"),
             count(lit(1)).as("n_orders"))
         t(s, dir, "customer")
           .join(rollup, col("c_custkey") === col("o_custkey"), "left")
           .select(
             col("c_custkey"),
             col("c_name"),
-            coalesce(col("order_ids"), typedlit(Seq.empty[Long])).as("order_ids"),
+            coalesce(col("order_ids"), lit("")).as("order_ids"),
             coalesce(col("n_orders"), lit(0L)).as("n_orders"))
       },
       Some("""SELECT c_custkey, c_name,
-              COALESCE(r.order_ids, CAST([] AS BIGINT[])) AS order_ids,
+              COALESCE(r.order_ids, '') AS order_ids,
               COALESCE(r.n_orders, 0) AS n_orders
               FROM customer
               LEFT JOIN (SELECT o_custkey,
-                         list(o_orderkey ORDER BY o_orderkey) AS order_ids,
+                         string_agg(o_orderkey::VARCHAR, ';' ORDER BY o_orderkey) AS order_ids,
                          count(*) AS n_orders
                          FROM orders GROUP BY o_custkey) r
               ON c_custkey = o_custkey"""),

@@ -60,7 +60,9 @@ object ShapeOps {
             count(col("k")).as("n"),
             max(col("k")).as("max_k")),
       Some("""SELECT event_type,
-              SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+              -- ::BIGINT: DuckDB SUM(BIGINT) yields HUGEINT → float64 via
+              -- the driver's pandas bridge → hash mismatch vs Spark int64
+              SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
               COUNT(json_extract_string(props, '$.k')) AS n,
               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
               FROM events GROUP BY event_type"""),

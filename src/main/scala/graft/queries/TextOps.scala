@@ -83,7 +83,10 @@ object TextOps {
               SELECT doc_id,
               len(toks) AS n_tokens,
               len(list_filter(toks, x -> list_contains(['the','a','of','and','in','to','is'], x))) AS n_stopwords,
-              list_sum(list_transform(toks, x -> length(x))) AS n_token_chars,
+              -- ::BIGINT: DuckDB list_sum yields HUGEINT, which the driver's
+              -- pandas bridge turns into float64 and the hash compare then
+              -- sees 123.0 vs Spark's int64 123
+              list_sum(list_transform(toks, x -> length(x)))::BIGINT AS n_token_chars,
               len(list_filter(toks, x -> list_contains(['the','a','of','and','in','to','is'], x))) * 1000 // len(toks) AS stopword_permille,
               len(list_distinct(toks)) * 1000 // len(toks) AS distinct_permille,
               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000 // length(text) AS alpha_permille

@@ -102,8 +102,12 @@ object EventStreaming {
             state.remove()
             out.iterator
           } else {
-            val sorted = rows.map { case (_, ts, v) => (ts.getTime * 1000L, v) }
-              .toSeq.sortBy(_._1)
+            // true epoch micros: getTime is ms-truncated, the sub-ms digits
+            // live in getNanos (micros precision is all Spark timestamps
+            // carry, so this is lossless)
+            val sorted = rows.map { case (_, ts, v) =>
+              (ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L, v)
+            }.toSeq.sortBy(_._1)
             var open = state.getOption
             val closed = Seq.newBuilder[Session]
             sorted.foreach { case (us, v) =>
@@ -130,6 +134,36 @@ object EventStreaming {
             closed.result().iterator
           }
       }
+  }
+
+  /** Batch (historical-backfill) form of [[sessionize]]: the classic
+    * gap-and-island window — a session break is an event-time gap > `gap`
+    * within a user's ordered stream, the session id is the running count
+    * of breaks. Identical session boundaries to the streaming path
+    * (EventStreamingSpec asserts parity), but expressed as two window
+    * functions + one aggregation, so the whole thing is
+    * whole-stage-codegen'd and shuffles ONCE on user_id (the window and
+    * the groupBy share the partitioning — Catalyst reuses the exchange).
+    */
+  def sessionizeBatch(events: DataFrame, gap: String): DataFrame = {
+    val gapIv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    require(gapIv.months == 0 && gapIv.days == 0, "session gap must be sub-day")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val us = unix_micros(col("ts"))
+    val isBreak =
+      when(us - lag(us, 1).over(w) > gapIv.microseconds, 1).otherwise(0)
+    events
+      .withColumn("__sess", sum(isBreak).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("user_id"), col("__sess").as("session_idx"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
   }
 
   /** File-arrival streaming source over a directory of parquet events —

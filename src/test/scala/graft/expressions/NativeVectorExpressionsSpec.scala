@@ -61,6 +61,14 @@ class NativeVectorExpressionsSpec extends SparkTestBase {
     assert(got.toSeq == spec.toSeq)
   }
 
+  test("graft_dot_milli on length-mismatched vectors is NULL like the HOF") {
+    val q = Seq((Seq(1L, 2L, 3L), Seq(4L, 5L))).toDF("a", "b")
+    val spec = q.select(dotQ(col("a"), col("b"))).collect()
+    val got = q.select(call_function("graft_dot_milli", col("a"), col("b"))).collect()
+    assert(spec(0).isNullAt(0), "HOF spec must null out on mismatch")
+    assert(got(0).isNullAt(0), "native kernel must match the HOF's null")
+  }
+
   test("null input yields null, not a crash") {
     val n = Seq[Option[Seq[Float]]](None, Some(Seq(1.0f, 2.0f))).toDF("v")
     val r = n.select(
