@@ -48,6 +48,56 @@ object DedupOps {
                FROM documents)
          WHERE len(hs) >= 3)"""
 
+  /** SimHash hamming<=3 near-dup pairs via 4 × 15-bit chunk banding:
+    * <=3 flipped bits leave at least one chunk identical (pigeonhole), so
+    * chunk equality is a lossless prefilter. Shared by d4 (the pair list)
+    * and d7 (component clustering over the pairs).
+    */
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sim = t(s, dir, "documents")
+      .select(col("doc_id"),
+        call_function("graft_simhash60", col("text")).as("simhash"))
+      .localCheckpoint(false) // simhash runs once, not per consumer
+    val chunks = sim.select(col("doc_id"),
+      explode(expr(
+        "transform(sequence(0,3), c -> concat(c, '#', (shiftright(simhash, c*15) & 32767)))"
+      )).as("chunk_key"))
+    val pairs = chunks.select(col("chunk_key"), col("doc_id").as("doc_a"))
+      .join(chunks.select(col("chunk_key"), col("doc_id").as("doc_b")), Seq("chunk_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    pairs
+      .join(sim.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a")), Seq("doc_a"))
+      .join(sim.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+  }
+
+  /** Oracle CTEs for the SimHash signature + chunk banding (shared by the
+    * d4 and d7 oracles).
+    */
+  private val SimhashCtes =
+    """sim AS (
+         SELECT doc_id,
+         list_sum([ CASE WHEN
+             list_sum([ CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END for h in hs ]) > 0
+           THEN (1::BIGINT << b) ELSE 0 END for b in range(0, 60) ])::BIGINT AS simhash
+         FROM (SELECT doc_id,
+                 list_transform(
+                   list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''),
+                   t -> ('0x'||substr(md5(t),1,15))::BIGINT) AS hs
+               FROM documents)),
+       chunks AS (SELECT doc_id, simhash,
+         unnest([ c || '#' || ((simhash >> (c*15)) & 32767) for c in range(0,4) ]) AS chunk_key
+         FROM sim)"""
+
+  private val SimhashPairSelect =
+    """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+       FROM chunks a JOIN chunks b USING (chunk_key)
+       WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3"""
+
   /** Exact Jaccard between two hashed-shingle-set columns (integer sizes →
     * one deterministic IEEE division; identical in every engine). The
     * intersection is bound once via let1 — it is the expensive term.
@@ -141,47 +191,39 @@ object DedupOps {
 
     Q(
       "d4_simhash_pairs",
-      (s, dir) => {
-        // SimHash near-dup pairs at hamming <= 3 via 4 x 15-bit chunk
-        // banding: <=3 flipped bits leave at least one chunk identical
-        // (pigeonhole), so chunk equality is a lossless prefilter.
-        val sim = t(s, dir, "documents")
-          .select(col("doc_id"),
-            call_function("graft_simhash60", col("text")).as("simhash"))
-          .localCheckpoint(false) // simhash runs once, not per consumer
-        val chunks = sim.select(col("doc_id"),
-          explode(expr(
-            "transform(sequence(0,3), c -> concat(c, '#', (shiftright(simhash, c*15) & 32767)))"
-          )).as("chunk_key"))
-        val pairs = chunks.select(col("chunk_key"), col("doc_id").as("doc_a"))
-          .join(chunks.select(col("chunk_key"), col("doc_id").as("doc_b")), Seq("chunk_key"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b")).distinct()
-        pairs
-          .join(sim.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a")), Seq("doc_a"))
-          .join(sim.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b")), Seq("doc_b"))
-          .select(col("doc_a"), col("doc_b"),
-            bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-          .filter(col("hamming") <= 3)
-      },
-      Some("""WITH sim AS (
-                SELECT doc_id,
-                list_sum([ CASE WHEN
-                    list_sum([ CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END for h in hs ]) > 0
-                  THEN (1::BIGINT << b) ELSE 0 END for b in range(0, 60) ])::BIGINT AS simhash
-                FROM (SELECT doc_id,
-                        list_transform(
-                          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''),
-                          t -> ('0x'||substr(md5(t),1,15))::BIGINT) AS hs
-                      FROM documents)),
-              chunks AS (SELECT doc_id, simhash,
-                unnest([ c || '#' || ((simhash >> (c*15)) & 32767) for c in range(0,4) ]) AS chunk_key
-                FROM sim)
-              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                bit_count(xor(a.simhash, b.simhash)) AS hamming
-              FROM chunks a JOIN chunks b USING (chunk_key)
-              WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3"""),
+      (s, dir) => simhashPairs(s, dir),
+      Some(s"""WITH $SimhashCtes
+              $SimhashPairSelect"""),
       doc = "Dedup: SimHash hamming<=3 pairs via lossless 15-bit chunk banding"),
+
+    Q(
+      "d7_dup_clusters",
+      (s, dir) => {
+        // near-dup PAIRS → duplicate GROUPS: connected components by
+        // min-label propagation (graft.exec.ConnectedComponents); the
+        // cluster id is the min doc_id of the component, i.e. the member
+        // a keep-one-per-group dedup would retain. The oracle recomputes
+        // components independently via a recursive transitive closure.
+        val pairs = simhashPairs(s, dir)
+          .select(col("doc_a"), col("doc_b")).localCheckpoint(false)
+        graft.exec.ConnectedComponents.minLabelPropagation(pairs, "doc_a", "doc_b")
+          .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      },
+      Some(s"""WITH RECURSIVE $SimhashCtes,
+              pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM chunks a JOIN chunks b USING (chunk_key)
+                WHERE a.doc_id < b.doc_id
+                AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+              edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                        UNION SELECT doc_b, doc_a FROM pairs),
+              nodes AS (SELECT DISTINCT s AS id FROM edges),
+              reach(id, r) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id)
+              SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id"""),
+      doc = "Dedup: connected-component duplicate clusters from near-dup pairs"),
 
     Q(
       "d5_ngram_jaccard",

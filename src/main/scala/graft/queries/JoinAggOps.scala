@@ -171,6 +171,38 @@ object JoinAggOps {
       doc = "A7: first-occurrence-wins content-hash dedup across sources"),
 
     Q(
+      "a10_rollup_revenue",
+      (s, dir) =>
+        // ROLLUP grouping sets over the enriched fact: per (brand, supplier),
+        // per brand, and grand total in ONE pass — Spark expands the sets
+        // inside a single Expand + hash aggregate, no multi-scan union.
+        // NULL group labels are coalesced to 'ALL' so the grouping level is
+        // explicit alongside the grouping_id bitmask.
+        t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .rollup(col("p_brand"), col("s_name"))
+          .agg(
+            sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n_lines"),
+            grouping_id().as("gid"))
+          .select(
+            coalesce(col("p_brand"), lit("ALL")).as("brand"),
+            coalesce(col("s_name"), lit("ALL")).as("supplier"),
+            col("revenue"), col("n_lines"), col("gid")),
+      Some("""SELECT coalesce(p_brand, 'ALL') AS brand,
+              coalesce(s_name, 'ALL') AS supplier,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+              COUNT(*) AS n_lines,
+              GROUPING_ID(p_brand, s_name)::BIGINT AS gid
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              GROUP BY ROLLUP(p_brand, s_name)"""),
+      doc = "ROLLUP grouping sets: multi-level aggregate in one Expand pass"),
+
+    Q(
       "a9_behavior_audit",
       (s, dir) => {
         // A9: users with a 'purchase' event but no 'signup' (treatment-

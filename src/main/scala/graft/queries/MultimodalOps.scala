@@ -63,6 +63,27 @@ object MultimodalOps {
               SELECT doc_id AS media_id, count(*) AS n_frames,
                      sum(f0_milli)::BIGINT AS sum_f0_milli
               FROM f GROUP BY 1"""),
-      doc = "Multimodal: per-partition stub decode -> per-media frame features")
+      doc = "Multimodal: per-partition stub decode -> per-media frame features"),
+
+    Q(
+      "mm3_sampled_blocks",
+      // frame sampling WITHOUT decode: every 4th 64-byte block reference
+      // (MediaPipeline.sampleBlocks, pure built-ins) — the oracle
+      // recomputes the sampled index set arithmetically.
+      (s, dir) => {
+        val media = MediaPipeline.toMediaFrame(
+          t(s, dir, "documents").withColumn("payload", col("text").cast("binary")),
+          "doc_id", "payload", "text")
+        MediaPipeline.sampleBlocks(media, 4)
+          .groupBy(col("media_id"))
+          .agg(count(lit(1)).as("n_sampled"), sum(col("block_idx")).as("sum_idx"))
+      },
+      Some("""SELECT doc_id AS media_id, count(*) AS n_sampled,
+              sum(bi)::BIGINT AS sum_idx
+              FROM (SELECT doc_id,
+                      unnest(range(0, greatest((octet_length(encode(text)) + 63) // 64, 1), 4)) AS bi
+                    FROM documents)
+              GROUP BY 1"""),
+      doc = "Multimodal: stride-4 block sampling (decode-free frame selection)")
   )
 }

@@ -93,6 +93,42 @@ object ShapeOps {
       doc = "J6: full-width iterative left join on the subject key"),
 
     Q(
+      "w2_sessionize",
+      (s, dir) => {
+        // gap-and-island sessionization (batch form of the streaming
+        // sessionizer; EventStreamingSpec asserts the two paths agree).
+        // value is pre-cast to DECIMAL so the per-session sum is exact —
+        // double addition order would differ between engines.
+        val e = t(s, dir, "events")
+          .withColumn("value", dec(col("value")))
+        graft.streaming.EventStreaming.sessionizeBatch(e, "30 minutes")
+          .select(
+            col("user_id"),
+            col("session_idx").cast("long").as("session_idx"),
+            date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+            date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+            col("n_events"),
+            col("sum_value").cast("double").as("sum_value"))
+      },
+      Some("""WITH o AS (
+                SELECT user_id, ts, event_id, value,
+                  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              sx AS (
+                SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_idx
+                FROM o)
+              SELECT user_id, session_idx::BIGINT AS session_idx,
+                strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+                strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+                count(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+              FROM sx GROUP BY user_id, session_idx"""),
+      doc = "Sessionization: 30-min gap-and-island windows (batch = streaming semantics)"),
+
+    Q(
       "w1_tumbling_window",
       (s, dir) =>
         t(s, dir, "events")

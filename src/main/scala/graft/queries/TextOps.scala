@@ -156,6 +156,42 @@ object TextOps {
       doc = "Text: order-insensitive md5 + order-sensitive rolling-hash fingerprints"),
 
     Q(
+      "t6_pii_scrub",
+      (s, dir) => {
+        // PII redaction: deterministic synthetic email/phone are spliced
+        // into each doc (the corpus itself is clean words), then scrubbed
+        // with RE2-safe patterns (no lookarounds — Java and DuckDB agree).
+        // The scrubbed-text md5 makes the compare sensitive to every byte
+        // of the redaction, not just the counts.
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "\\+?[0-9]{1,2}-555-[0-9]{4}"
+        val withPii = t(s, dir, "documents").withColumn("full_text",
+          concat(
+            lit("Contact user"), col("doc_id"), lit("@mail.example.com or +1-555-"),
+            lpad((col("doc_id") * 7 % 10000).cast("string"), 4, "0"),
+            lit(" . "), col("text")))
+        withPii.select(
+          col("doc_id"),
+          size(regexp_extract_all(col("full_text"), lit(emailRe), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("full_text"), lit(phoneRe), lit(0))).as("n_phones"),
+          md5(regexp_replace(
+            regexp_replace(col("full_text"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>")).as("scrub_md5"))
+      },
+      Some("""WITH p AS (SELECT doc_id,
+                'Contact user' || doc_id || '@mail.example.com or +1-555-' ||
+                lpad((doc_id * 7 % 10000)::VARCHAR, 4, '0') || ' . ' || text AS full_text
+              FROM documents)
+              SELECT doc_id,
+              len(regexp_extract_all(full_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+              len(regexp_extract_all(full_text, '\+?[0-9]{1,2}-555-[0-9]{4}')) AS n_phones,
+              md5(regexp_replace(
+                regexp_replace(full_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\+?[0-9]{1,2}-555-[0-9]{4}', '<PHONE>', 'g')) AS scrub_md5
+              FROM p"""),
+      doc = "Text: PII (email/phone) detection + redaction with byte-exact scrub"),
+
+    Q(
       "t5_corpus_ngrams",
       (s, dir) => {
         // corpus-wide top-20 word trigrams: explode → count → total-order

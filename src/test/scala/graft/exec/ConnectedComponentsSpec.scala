@@ -1,0 +1,34 @@
+package graft.exec
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class ConnectedComponentsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("min-label propagation finds components across chains, pairs, triangles") {
+    // chain 1-2-3-4 (diameter 3 forces multiple rounds), pair 10-11,
+    // triangle 20-21-22, chain 30-31-32 given in mixed edge order
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L),
+      (31L, 32L), (30L, 31L)).toDF("a", "b")
+    val got = ConnectedComponents.minLabelPropagation(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val expected = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L)
+    assert(got == expected)
+  }
+
+  test("edge direction does not matter") {
+    val got = ConnectedComponents
+      .minLabelPropagation(Seq((5L, 2L), (2L, 9L)).toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 2L, 5L -> 2L, 9L -> 2L))
+  }
+}

@@ -70,4 +70,18 @@ class PlanAssertionsSpec extends SparkTestBase {
     val p = plan("j1_rollup_ids")
     assert("ObjectHashAggregate|HashAggregate".r.findAllIn(p).nonEmpty, p)
   }
+
+  test("w2_sessionize: window and session aggregate share ONE shuffle") {
+    // HashPartitioning(user_id) satisfies the groupBy(user_id, __sess)
+    // clustering requirement, so Catalyst must not add a second exchange
+    val p = plan("w2_sessionize")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("a10_rollup_revenue: grouping sets expand once, dims broadcast") {
+    val p = plan("a10_rollup_revenue")
+    assert("Expand".r.findAllIn(p).size == 1, p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

@@ -77,6 +77,40 @@ class EventStreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionizeBatch agrees with the streaming sessionizer on closed sessions") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def at(id: Long, hm: String, user: Long, v: Double) =
+      StreamEvent(id, Timestamp.valueOf(s"2024-01-01 $hm:00"), user, "click", v, "{}")
+    val data = Seq(
+      at(1, "01:00", 1, 1.0), at(2, "01:30", 1, 2.0), at(3, "05:00", 1, 4.0),
+      at(4, "02:00", 2, 7.0), at(5, "02:10", 2, 1.0), at(6, "02:20", 2, 2.0))
+
+    val batch = EventStreaming.sessionizeBatch(data.toDF(), "1 hour")
+      .select($"user_id", $"session_start", $"session_end", $"n_events", $"sum_value")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+
+    val mem = MemoryStream[StreamEvent]
+    val q = EventStreaming.sessionize(mem.toDF(), "1 hour", "30 minutes")
+      .toDF().writeStream.format("memory").queryName("sess_parity")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      // advance the watermark far enough to flush every open session
+      mem.addData(at(7, "23:00", 99, 0.0))
+      q.processAllAvailable()
+      mem.addData(at(8, "23:05", 99, 0.0))
+      q.processAllAvailable()
+      val streamed = s.sql(
+        "SELECT user_id, session_start, session_end, n_events, sum_value FROM sess_parity WHERE user_id < 99")
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+      assert(streamed == batch,
+        s"batch/streaming session mismatch:\n batch=$batch\n streamed=$streamed")
+    } finally q.stop()
+  }
+
   test("dedupedEvents drops duplicate event_ids within the watermark") {
     val s = spark
     import s.implicits._
