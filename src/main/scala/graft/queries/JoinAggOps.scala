@@ -143,18 +143,18 @@ object JoinAggOps {
         // min(ord) per key instead of a row_number window: both shuffles
         // partial-aggregate map-side and nothing gets sorted. The two
         // extracts filter one base table, so instead of a self-union (two
-        // scans, two hashes per overlapping row) the scan is shared and
-        // each row EXPLODES into its source memberships — the multiset of
-        // (key, ord) pairs entering the groupBy is identical, the read is
-        // halved. The shuffle key is the 16-byte binary md5, not its
-        // 32-char hex form.
+        // scans, two hashes per overlapping row) the scan is shared, and
+        // each row contributes ONE (key, best-possible-ord) pair: a row in
+        // both extracts would contribute ords {1,2}, but under min() the 2
+        // is redundant, so no explode and no row doubling — min per key
+        // over the single-ord rows is identical. The shuffle key is the
+        // 16-byte binary md5, not its 32-char hex form.
         t(s, dir, "lineitem")
           .filter(col("l_quantity") > 10)
           .select(
             unhex(md5(concat_ws("|",
               col("l_orderkey"), col("l_linenumber"), col("l_quantity")))).as("__key"),
-            explode(when(col("l_quantity") > 25, array(lit(1), lit(2)))
-              .otherwise(array(lit(2)))).as("__ord"))
+            when(col("l_quantity") > 25, lit(1)).otherwise(lit(2)).as("__ord"))
           .groupBy(col("__key")).agg(min(col("__ord")).as("__won"))
           .groupBy(when(col("__won") === 1, lit("xform_a"))
             .otherwise(lit("xform_b")).as("__src"))
@@ -172,25 +172,35 @@ object JoinAggOps {
 
     Q(
       "a10_rollup_revenue",
-      (s, dir) =>
+      (s, dir) => {
         // ROLLUP grouping sets over the enriched fact: per (brand, supplier),
-        // per brand, and grand total in ONE pass — Spark expands the sets
-        // inside a single Expand + hash aggregate, no multi-scan union.
+        // per brand, and grand total. The fact is FIRST aggregated to the
+        // finest grouping set, then the rollup's Expand runs over those
+        // ~2.5k partial rows instead of replicating every fact row per
+        // grouping level — at 100 TB that's the difference between
+        // expanding billions of rows x levels and expanding thousands.
+        // Decimal partials keep the re-aggregation exact (sum of sums).
         // NULL group labels are coalesced to 'ALL' so the grouping level is
         // explicit alongside the grouping_id bitmask.
-        t(s, dir, "lineitem")
+        val perPair = t(s, dir, "lineitem")
           .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
           .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
-          .rollup(col("p_brand"), col("s_name"))
+          .groupBy(col("p_brand"), col("s_name"))
           .agg(
             sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
-              .cast("double").as("revenue"),
-            count(lit(1)).as("n_lines"),
+              .as("rev_d"),
+            count(lit(1)).as("n"))
+        perPair
+          .rollup(col("p_brand"), col("s_name"))
+          .agg(
+            sum(col("rev_d")).cast("double").as("revenue"),
+            sum(col("n")).as("n_lines"),
             grouping_id().as("gid"))
           .select(
             coalesce(col("p_brand"), lit("ALL")).as("brand"),
             coalesce(col("s_name"), lit("ALL")).as("supplier"),
-            col("revenue"), col("n_lines"), col("gid")),
+            col("revenue"), col("n_lines"), col("gid"))
+      },
       Some("""SELECT coalesce(p_brand, 'ALL') AS brand,
               coalesce(s_name, 'ALL') AS supplier,
               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
