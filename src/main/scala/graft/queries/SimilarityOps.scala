@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -8,7 +9,8 @@ import Tables.t
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
   *
-  * Two paths, as a production pipeline would ship them:
+  * Three paths, as a production pipeline would ship them, plus the recall
+  * harness that keeps them honest:
   *  - `sim1_brute_topk`: exact cosine top-k — the correctness baseline.
   *    The query set is tiny and broadcast; the candidate scan is a single
   *    narrow pass, ranking is a per-query window. At 100 TB this is the
@@ -21,6 +23,9 @@ import Tables.t
   *    queries probe their `nprobe` nearest cells and score only those
   *    members. At 100 TB the cell id is the table's partition key, so a
   *    probe is a partition-pruned scan, not a shuffle.
+  *  - `sim4_ann_recall`: per-query recall@k of both ANN paths against the
+  *    brute-force truth — the quality metric an ANN deployment monitors
+  *    when tuning bands/planes/nprobe.
   *
   * All scores are computed over integer-quantized vectors (see
   * VectorFunctions) so both engines produce bit-identical doubles.
@@ -35,144 +40,194 @@ object SimilarityOps {
   private val CentSetSql = "vec_id >= 10 AND vec_id < 18"
   private val NProbe = 2
 
+  /** Exact brute-force cosine top-k (sim1; also sim4's ground truth). */
+  private def bruteTopk(s: SparkSession, dir: String): DataFrame = {
+    // norms are computed per VECTOR (narrow map before the join), not
+    // per pair — scoring is one dot + one divide, same expression
+    // order as cosineQ so the doubles stay bit-identical
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), quantizeN(col("embedding")).as("q"))
+      .withColumn("nrm", sqrt(dotQN(col("q"), col("q")).cast("double")))
+    val queries = e.filter(expr(QuerySetSql))
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nrm").as("qn"))
+    val cands = e.filter(!expr(QuerySetSql))
+    val scored = cands.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        (dotQN(col("qq"), col("q")).cast("double") /
+          (col("qn") * col("nrm"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+  }
+
+  /** Banded hyperplane LSH top-k (sim2): score only bucket-mates. */
+  private def lshTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), quantizeN(col("embedding")).as("q"))
+      .withColumn("nrm", sqrt(dotQN(col("q"), col("q")).cast("double")))
+      .withColumn("band_key", explode(call_function("graft_lsh_bands",
+        col("q"), lit(4), lit(4), lit(64))))
+    val queries = e.filter(expr(QuerySetSql))
+      .select(col("band_key"), col("vec_id").as("query_id"),
+        col("q").as("qq"), col("nrm").as("qn"))
+    val cands = e.filter(!expr(QuerySetSql))
+    val scored = cands.join(queries, Seq("band_key"))
+      .select(col("query_id"), col("vec_id"),
+        (dotQN(col("qq"), col("q")).cast("double") /
+          (col("qn") * col("nrm"))).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+  }
+
+  /** IVF nprobe top-k (sim3): broadcast coarse quantizer, per-cell exact
+    * scoring inside the probed cells only.
+    */
+  private def ivfTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), quantizeN(col("embedding")).as("q"))
+      .withColumn("nrm", sqrt(dotQN(col("q"), col("q")).cast("double")))
+    val cents = broadcast(e.filter(expr(CentSetSql))
+      .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("nrm").as("cn")))
+    def nearestCells(side: DataFrame, keep: Int) = {
+      val scored = side.crossJoin(cents)
+        .select(col("vec_id"), col("q"), col("nrm"), col("cent_id"),
+          (dotQN(col("q"), col("cq")).cast("double") /
+            (col("nrm") * col("cn"))).as("ccos"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cent_id"))
+      scored.withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+    }
+    val assigned = nearestCells(e.filter(!expr(QuerySetSql)), 1)
+      .select(col("cent_id"), col("vec_id"), col("q"), col("nrm"))
+    val probes = nearestCells(e.filter(expr(QuerySetSql)), NProbe)
+      .select(col("cent_id"), col("vec_id").as("query_id"),
+        col("q").as("qq"), col("nrm").as("qn"))
+    val scored = assigned.join(probes, Seq("cent_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dotQN(col("qq"), col("q")).cast("double") /
+          (col("qn") * col("nrm"))).as("cosine"))
+      .distinct() // a vector probed via both cells scores once
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+  }
+
+  // ---- oracle SQL (composed into sim4's oracle as CTE bodies) ----------
+
+  private val Sim1Sql =
+    s"""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> round(x*1000)::BIGINT) AS q
+          FROM embeddings),
+        scored AS (SELECT qs.vec_id AS query_id, c.vec_id,
+          list_dot_product(qs.q, c.q) /
+          (sqrt(list_dot_product(qs.q, qs.q)) * sqrt(list_dot_product(c.q, c.q))) AS cosine
+          FROM e qs JOIN e c ON qs.$QuerySetSql AND NOT c.$QuerySetSql)
+        SELECT query_id, vec_id, cosine, rank FROM
+          (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, vec_id) AS rank FROM scored)
+        WHERE rank <= $K"""
+
+  private val Sim2Sql =
+    s"""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> round(x*1000)::BIGINT) AS q
+          FROM embeddings),
+        b AS (SELECT vec_id, q,
+          unnest([ bb || '#' ||
+            list_sum([ CASE WHEN list_dot_product(q,
+                [ (('0x'||substr(md5((bb*4+j)||'|'||d),1,15))::BIGINT % 2001) - 1000
+                  for d in range(0,64) ]) > 0
+              THEN (1::BIGINT << j) ELSE 0 END for j in range(0,4) ])::BIGINT
+            for bb in range(0,4) ]) AS band_key FROM e),
+        scored AS (SELECT DISTINCT qs.vec_id AS query_id, c.vec_id,
+          list_dot_product(qs.q, c.q) /
+          (sqrt(list_dot_product(qs.q, qs.q)) * sqrt(list_dot_product(c.q, c.q))) AS cosine
+          FROM b qs JOIN b c USING (band_key)
+          WHERE qs.$QuerySetSql AND NOT c.$QuerySetSql)
+        SELECT query_id, vec_id, cosine, rank FROM
+          (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, vec_id) AS rank FROM scored)
+        WHERE rank <= $K"""
+
+  private val Sim3Sql =
+    s"""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> round(x*1000)::BIGINT) AS q
+          FROM embeddings),
+        n AS (SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS nrm FROM e),
+        cents AS (SELECT vec_id AS cent_id, q AS cq, nrm AS cn
+          FROM n WHERE $CentSetSql),
+        cell AS (SELECT vec_id, q, nrm, cent_id, crank FROM
+          (SELECT n.vec_id, n.q, n.nrm, cents.cent_id,
+             row_number() OVER (PARTITION BY n.vec_id ORDER BY
+               list_dot_product(n.q, cents.cq) / (n.nrm * cents.cn) DESC,
+               cents.cent_id) AS crank
+           FROM n, cents)),
+        assigned AS (SELECT cent_id, vec_id, q, nrm FROM cell
+          WHERE crank = 1 AND NOT ($QuerySetSql)),
+        probes AS (SELECT cent_id, vec_id AS query_id, q AS qq, nrm AS qn
+          FROM cell WHERE crank <= $NProbe AND $QuerySetSql),
+        scored AS (SELECT DISTINCT query_id, a.vec_id,
+          list_dot_product(qq, a.q) / (qn * a.nrm) AS cosine
+          FROM assigned a JOIN probes USING (cent_id))
+        SELECT query_id, vec_id, cosine, rank FROM
+          (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, vec_id) AS rank FROM scored)
+        WHERE rank <= $K"""
+
   def qs: Seq[Q] = Seq(
     Q(
       "sim1_brute_topk",
-      (s, dir) => {
-        // norms are computed per VECTOR (narrow map before the join), not
-        // per pair — scoring is one dot + one divide, same expression
-        // order as cosineQ so the doubles stay bit-identical
-        val e = t(s, dir, "embeddings")
-          .select(col("vec_id"), quantizeN(col("embedding")).as("q"))
-          .withColumn("nrm", sqrt(dotQN(col("q"), col("q")).cast("double")))
-        val queries = e.filter(expr(QuerySetSql))
-          .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nrm").as("qn"))
-        val cands = e.filter(!expr(QuerySetSql))
-        val scored = cands.crossJoin(broadcast(queries))
-          .select(col("query_id"), col("vec_id"),
-            (dotQN(col("qq"), col("q")).cast("double") /
-              (col("qn") * col("nrm"))).as("cosine"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("vec_id"))
-        scored.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= K)
-      },
-      Some(s"""WITH e AS (SELECT vec_id,
-                 list_transform(embedding, x -> round(x*1000)::BIGINT) AS q
-                 FROM embeddings),
-               scored AS (SELECT qs.vec_id AS query_id, c.vec_id,
-                 list_dot_product(qs.q, c.q) /
-                 (sqrt(list_dot_product(qs.q, qs.q)) * sqrt(list_dot_product(c.q, c.q))) AS cosine
-                 FROM e qs JOIN e c ON qs.$QuerySetSql AND NOT c.$QuerySetSql)
-               SELECT query_id, vec_id, cosine, rank FROM
-                 (SELECT *, row_number() OVER (PARTITION BY query_id
-                    ORDER BY cosine DESC, vec_id) AS rank FROM scored)
-               WHERE rank <= $K"""),
+      (s, dir) => bruteTopk(s, dir),
+      Some(Sim1Sql),
       doc = "ANN baseline: exact brute-force cosine top-k (broadcast queries)"),
 
     Q(
       "sim2_lsh_ann",
-      (s, dir) => {
-        // scale path: score only bucket-mates of each query's LSH bands
-        val e = t(s, dir, "embeddings")
-          .select(col("vec_id"), quantizeN(col("embedding")).as("q"))
-          .withColumn("nrm", sqrt(dotQN(col("q"), col("q")).cast("double")))
-          .withColumn("band_key", explode(call_function("graft_lsh_bands",
-            col("q"), lit(4), lit(4), lit(64))))
-        val queries = e.filter(expr(QuerySetSql))
-          .select(col("band_key"), col("vec_id").as("query_id"),
-            col("q").as("qq"), col("nrm").as("qn"))
-        val cands = e.filter(!expr(QuerySetSql))
-        val scored = cands.join(queries, Seq("band_key"))
-          .select(col("query_id"), col("vec_id"),
-            (dotQN(col("qq"), col("q")).cast("double") /
-              (col("qn") * col("nrm"))).as("cosine"))
-          .distinct()
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("vec_id"))
-        scored.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= K)
-      },
-      Some(s"""WITH e AS (SELECT vec_id,
-                 list_transform(embedding, x -> round(x*1000)::BIGINT) AS q
-                 FROM embeddings),
-               b AS (SELECT vec_id, q,
-                 unnest([ bb || '#' ||
-                   list_sum([ CASE WHEN list_dot_product(q,
-                       [ (('0x'||substr(md5((bb*4+j)||'|'||d),1,15))::BIGINT % 2001) - 1000
-                         for d in range(0,64) ]) > 0
-                     THEN (1::BIGINT << j) ELSE 0 END for j in range(0,4) ])::BIGINT
-                   for bb in range(0,4) ]) AS band_key FROM e),
-               scored AS (SELECT DISTINCT qs.vec_id AS query_id, c.vec_id,
-                 list_dot_product(qs.q, c.q) /
-                 (sqrt(list_dot_product(qs.q, qs.q)) * sqrt(list_dot_product(c.q, c.q))) AS cosine
-                 FROM b qs JOIN b c USING (band_key)
-                 WHERE qs.$QuerySetSql AND NOT c.$QuerySetSql)
-               SELECT query_id, vec_id, cosine, rank FROM
-                 (SELECT *, row_number() OVER (PARTITION BY query_id
-                    ORDER BY cosine DESC, vec_id) AS rank FROM scored)
-               WHERE rank <= $K"""),
+      (s, dir) => lshTopk(s, dir),
+      Some(Sim2Sql),
       doc = "ANN scale path: banded hyperplane LSH bucket join + in-bucket rank"),
 
     Q(
       "sim3_ivf_ann",
+      (s, dir) => ivfTopk(s, dir),
+      Some(Sim3Sql),
+      doc = "ANN scale path 2: IVF cell assignment + nprobe partition-pruned search"),
+
+    Q(
+      "sim4_ann_recall",
       (s, dir) => {
-        // IVF: assign every corpus vector to its nearest cell (broadcast
-        // centroid table, one narrow pass); queries probe their NProbe
-        // nearest cells; exact cosine only inside probed cells.
-        val e = t(s, dir, "embeddings")
-          .select(col("vec_id"), quantizeN(col("embedding")).as("q"))
-          .withColumn("nrm", sqrt(dotQN(col("q"), col("q")).cast("double")))
-        val cents = broadcast(e.filter(expr(CentSetSql))
-          .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("nrm").as("cn")))
-        def nearestCells(side: org.apache.spark.sql.DataFrame, keep: Int) = {
-          val scored = side.crossJoin(cents)
-            .select(col("vec_id"), col("q"), col("nrm"), col("cent_id"),
-              (dotQN(col("q"), col("cq")).cast("double") /
-                (col("nrm") * col("cn"))).as("ccos"))
-          val w = Window.partitionBy(col("vec_id"))
-            .orderBy(col("ccos").desc, col("cent_id"))
-          scored.withColumn("crank", row_number().over(w))
-            .filter(col("crank") <= keep)
-        }
-        val assigned = nearestCells(e.filter(!expr(QuerySetSql)), 1)
-          .select(col("cent_id"), col("vec_id"), col("q"), col("nrm"))
-        val probes = nearestCells(e.filter(expr(QuerySetSql)), NProbe)
-          .select(col("cent_id"), col("vec_id").as("query_id"),
-            col("q").as("qq"), col("nrm").as("qn"))
-        val scored = assigned.join(probes, Seq("cent_id"))
-          .select(col("query_id"), col("vec_id"),
-            (dotQN(col("qq"), col("q")).cast("double") /
-              (col("qn") * col("nrm"))).as("cosine"))
-          .distinct() // a vector probed via both cells scores once
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("vec_id"))
-        scored.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= K)
+        // recall@k per query point: |ANN-top-k ∩ true-top-k| via left-semi
+        // joins on (query_id, vec_id); counts stay integers so the compare
+        // is hash-exact. Ground truth is computed once and reused for both
+        // ANN paths (localCheckpoint — three consumers).
+        val truth = bruteTopk(s, dir)
+          .select(col("query_id"), col("vec_id")).localCheckpoint(false)
+        def hits(ann: DataFrame, name: String) =
+          truth.join(ann.select(col("query_id"), col("vec_id")),
+              Seq("query_id", "vec_id"), "left_semi")
+            .groupBy(col("query_id")).agg(count(lit(1)).as(name))
+        truth.groupBy(col("query_id")).agg(count(lit(1)).as("n_true"))
+          .join(hits(lshTopk(s, dir), "n_lsh"), Seq("query_id"), "left")
+          .join(hits(ivfTopk(s, dir), "n_ivf"), Seq("query_id"), "left")
+          .select(
+            col("query_id"), col("n_true"),
+            coalesce(col("n_lsh"), lit(0L)).as("n_lsh"),
+            coalesce(col("n_ivf"), lit(0L)).as("n_ivf"))
       },
-      Some(s"""WITH e AS (SELECT vec_id,
-                 list_transform(embedding, x -> round(x*1000)::BIGINT) AS q
-                 FROM embeddings),
-               n AS (SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS nrm FROM e),
-               cents AS (SELECT vec_id AS cent_id, q AS cq, nrm AS cn
-                 FROM n WHERE $CentSetSql),
-               cell AS (SELECT vec_id, q, nrm, cent_id, crank FROM
-                 (SELECT n.vec_id, n.q, n.nrm, cents.cent_id,
-                    row_number() OVER (PARTITION BY n.vec_id ORDER BY
-                      list_dot_product(n.q, cents.cq) / (n.nrm * cents.cn) DESC,
-                      cents.cent_id) AS crank
-                  FROM n, cents)),
-               assigned AS (SELECT cent_id, vec_id, q, nrm FROM cell
-                 WHERE crank = 1 AND NOT ($QuerySetSql)),
-               probes AS (SELECT cent_id, vec_id AS query_id, q AS qq, nrm AS qn
-                 FROM cell WHERE crank <= $NProbe AND $QuerySetSql),
-               scored AS (SELECT DISTINCT query_id, a.vec_id,
-                 list_dot_product(qq, a.q) / (qn * a.nrm) AS cosine
-                 FROM assigned a JOIN probes USING (cent_id))
-               SELECT query_id, vec_id, cosine, rank FROM
-                 (SELECT *, row_number() OVER (PARTITION BY query_id
-                    ORDER BY cosine DESC, vec_id) AS rank FROM scored)
-               WHERE rank <= $K"""),
-      doc = "ANN scale path 2: IVF cell assignment + nprobe partition-pruned search")
+      Some(s"""WITH brute AS ($Sim1Sql),
+              lsh AS ($Sim2Sql),
+              ivf AS ($Sim3Sql)
+              SELECT b.query_id, count(*) AS n_true,
+                count(*) FILTER (WHERE EXISTS (SELECT 1 FROM lsh l
+                  WHERE l.query_id = b.query_id AND l.vec_id = b.vec_id)) AS n_lsh,
+                count(*) FILTER (WHERE EXISTS (SELECT 1 FROM ivf i
+                  WHERE i.query_id = b.query_id AND i.vec_id = b.vec_id)) AS n_ivf
+              FROM brute b GROUP BY b.query_id"""),
+      doc = "ANN quality: per-query recall@k of LSH and IVF vs exact truth")
   )
 }
