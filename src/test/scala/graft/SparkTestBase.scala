@@ -15,6 +15,8 @@ object SharedSpark {
       // match GraftSession: the synthetic events table carries parquet
       // TIMESTAMP(NANOS), read as epoch-nanos long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed-table specs write here; keep it out of the repo tree
+      .config("spark.sql.warehouse.dir", "target/spark-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
