@@ -213,6 +213,24 @@ object JoinAggOps {
       doc = "ROLLUP grouping sets: multi-level aggregate in one Expand pass"),
 
     Q(
+      "a11_salted_rollup",
+      (s, dir) =>
+        // the salted two-phase path for HOLISTIC aggregates on skewed keys
+        // (graft.functions.SkewFunctions): a hot parent's collect_list work
+        // spreads over 8 shard-reducers, the merge shuffle carries 8
+        // pre-aggregated rows per key. Values collected as strings so the
+        // canonical sort is one lexicographic order on both engines.
+        graft.functions.SkewFunctions.saltedCollectList(
+            t(s, dir, "orders"), col("o_custkey"),
+            col("o_orderkey").cast("string"), 8)
+          .select(col("key").as("o_custkey"),
+            array_join(col("values"), ";").as("order_ids")),
+      Some("""SELECT o_custkey,
+              string_agg(o_orderkey::VARCHAR, ';' ORDER BY o_orderkey::VARCHAR) AS order_ids
+              FROM orders GROUP BY o_custkey"""),
+      doc = "Skew: salted two-phase collect_list rollup, oracle-equal to direct"),
+
+    Q(
       "a9_behavior_audit",
       (s, dir) => {
         // A9: users with a 'purchase' event but no 'signup' (treatment-
