@@ -25,16 +25,70 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** @param edges undirected edge frame (one row per pair, either order)
+  /** Size-adaptive entry point — the broadcast-join logic applied to graph
+    * clustering: a small edge set (it is known exactly after candidate
+    * generation) is solved with driver-side union-find in one collect,
+    * skipping the per-round shuffle+checkpoint cost entirely; a large one
+    * runs the distributed [[minLabelPropagation]] loop. Near-dup graphs at
+    * high thresholds are edge-sparse, so the local path is the common case
+    * even on huge corpora — the loop is the safety net, not the default.
+    *
+    * @param edges undirected edge frame (one row per pair, either order)
+    * @return frame (id, label): label = min node id in the component
+    */
+  def components(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      localThreshold: Long = 1L << 20): DataFrame = {
+    val fwd = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .localCheckpoint(false)
+    if (fwd.count() > localThreshold) minLabelPropagation(fwd, "src", "dst")
+    else {
+      // union-find with path halving; roots then remapped to component min
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent(x) != x) {
+          parent(x) = parent(parent(x))
+          x = parent(x)
+        }
+        x
+      }
+      fwd.collect().foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra) = rb
+      }
+      val minOfRoot = scala.collection.mutable.Map.empty[Long, Long]
+      parent.keys.foreach { n =>
+        val r = find(n)
+        minOfRoot(r) = math.min(minOfRoot.getOrElse(r, n), n)
+      }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      parent.keys.toSeq.sorted.map(n => (n, minOfRoot(find(n)))).toDF("id", "label")
+    }
+  }
+
+  /** Distributed path of [[components]] (also directly spec-tested).
+    *
+    * @param edges undirected edge frame (one row per pair, either order)
     * @return frame (id, label): label = min node id in the component
     */
   def minLabelPropagation(
       edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 20): DataFrame = {
+    // no distinct() on the edge list: duplicate edges cannot change a min,
+    // they only fan out the join a little — cheaper than a dedup shuffle
     val fwd = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
     val bidir = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(false)
-    var labels = bidir.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(false)
+      .localCheckpoint(false)
+    // label init FUSED with propagation round 1: each node's first label is
+    // min(self, neighbors) from one aggregation, no init frame + no join
+    var labels = bidir.groupBy(col("src").as("id"))
+      .agg(least(min(col("src")), min(col("dst"))).as("label"))
+      .localCheckpoint(false)
     // Convergence via the label-sum invariant: min-propagation only ever
     // DECREASES labels, so sum(label) is strictly monotone until the fixed
     // point — an unchanged sum IS convergence. One tiny aggregate per round

@@ -204,9 +204,8 @@ object DedupOps {
         // cluster id is the min doc_id of the component, i.e. the member
         // a keep-one-per-group dedup would retain. The oracle recomputes
         // components independently via a recursive transitive closure.
-        val pairs = simhashPairs(s, dir)
-          .select(col("doc_a"), col("doc_b")).localCheckpoint(false)
-        graft.exec.ConnectedComponents.minLabelPropagation(pairs, "doc_a", "doc_b")
+        val pairs = simhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+        graft.exec.ConnectedComponents.components(pairs, "doc_a", "doc_b")
           .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       },
       Some(s"""WITH RECURSIVE $SimhashCtes,

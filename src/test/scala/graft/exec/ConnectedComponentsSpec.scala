@@ -25,6 +25,18 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("adaptive components: local union-find equals the distributed loop") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a", "b")
+    val local = ConnectedComponents.components(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val dist = ConnectedComponents.components(edges, "a", "b", localThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist)
+    assert(local(4L) == 1L && local(22L) == 20L)
+  }
+
   test("edge direction does not matter") {
     val got = ConnectedComponents
       .minLabelPropagation(Seq((5L, 2L), (2L, 9L)).toDF("a", "b"), "a", "b")
