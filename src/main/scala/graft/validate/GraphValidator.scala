@@ -24,6 +24,15 @@ object GraphValidator {
       obs("`participant.participant_id`") === participant("participant_id"),
       "left_anti")
 
+  /** C3: node types that must occur exactly once per harmonized doc
+    * (study, consent_group — reference :2186-2187 hard-errors on any
+    * other count). Empty result = valid.
+    */
+  def singletonViolation(df: DataFrame, node: String): DataFrame =
+    df.groupBy(lit(node).as("node"))
+      .agg(count(lit(1)).as("records"))
+      .filter(col("records") =!= 1)
+
   /** C3: ids present in the parent's id-list but missing from the child
     * frame (and vice versa via the second frame).
     */
