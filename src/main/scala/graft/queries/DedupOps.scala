@@ -225,6 +225,44 @@ object DedupOps {
       doc = "Dedup: connected-component duplicate clusters from near-dup pairs"),
 
     Q(
+      "d8_cluster_keep_one",
+      (s, dir) => {
+        // the END USE of dup clustering: keep one doc per near-dup group
+        // (the cluster min), drop the rest — corpus-level before/after
+        // accounting in one row. Non-min members anti-join out of the
+        // corpus scan; everything else flows through untouched.
+        val pairs = simhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+        val drops = graft.exec.ConnectedComponents.components(pairs, "doc_a", "doc_b")
+          .filter(col("id") =!= col("label"))
+          .select(col("id").as("doc_id"))
+        val survivors = t(s, dir, "documents")
+          .join(drops, Seq("doc_id"), "left_anti")
+        survivors.agg(count(lit(1)).as("n_survivors"))
+          .crossJoin(t(s, dir, "documents").agg(count(lit(1)).as("n_docs")))
+          .select(col("n_docs"), (col("n_docs") - col("n_survivors")).as("n_dropped"),
+            col("n_survivors"))
+      },
+      Some(s"""WITH RECURSIVE $SimhashCtes,
+              pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM chunks a JOIN chunks b USING (chunk_key)
+                WHERE a.doc_id < b.doc_id
+                AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+              edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                        UNION SELECT doc_b, doc_a FROM pairs),
+              nodes AS (SELECT DISTINCT s AS id FROM edges),
+              reach(id, r) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+              clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+              dropped AS (SELECT count(*) AS n FROM clusters WHERE id <> cluster_id)
+              SELECT (SELECT count(*) FROM documents) AS n_docs,
+                     (SELECT n FROM dropped) AS n_dropped,
+                     (SELECT count(*) FROM documents) - (SELECT n FROM dropped) AS n_survivors"""),
+      doc = "Dedup: keep-one-per-cluster corpus reduction accounting"),
+
+    Q(
       "d5_ngram_jaccard",
       (s, dir) => {
         // n-gram Jaccard near-dup: docs sharing a RARE shingle (global

@@ -192,6 +192,42 @@ object TextOps {
       doc = "Text: PII (email/phone) detection + redaction with byte-exact scrub"),
 
     Q(
+      "t7_freq_rank_quality",
+      (s, dir) => {
+        // corpus-frequency-rank quality signal (the integer-exact stand-in
+        // for LM-perplexity filters): every token gets its dense rank in
+        // the corpus frequency table (rank 1 = most common), and a doc's
+        // score is its mean token rank in permille. Rare-token-heavy docs
+        // score high. The rank table is VOCABULARY-sized, so the global
+        // rank window sorts a dimension table (then broadcasts), never the
+        // corpus — at 100 TB the token explode partial-aggregates into the
+        // vocab before anything global happens.
+        import org.apache.spark.sql.expressions.Window
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+          .withColumn("rank",
+            dense_rank().over(Window.orderBy(col("n").desc, col("tok"))).cast("long"))
+        toks.join(broadcast(vocab.select(col("tok"), col("rank"))), Seq("tok"))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_tokens"),
+            floor(sum(col("rank")).cast("double") * 1000d /
+              count(lit(1)).cast("double")).cast("long").as("mean_rank_permille"))
+      },
+      Some("""WITH tok AS (
+                SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+                FROM documents),
+              vocab AS (
+                SELECT tok, dense_rank() OVER (ORDER BY count(*) DESC, tok) AS rank
+                FROM tok GROUP BY tok)
+              SELECT doc_id, count(*) AS n_tokens,
+                (sum(rank) * 1000 // count(*))::BIGINT AS mean_rank_permille
+              FROM tok JOIN vocab USING (tok)
+              GROUP BY doc_id"""),
+      doc = "Text: corpus-frequency-rank quality score (integer-exact LM-filter analogue)"),
+
+    Q(
       "t5_corpus_ngrams",
       (s, dir) => {
         // corpus-wide top-20 word trigrams: explode → count → total-order
