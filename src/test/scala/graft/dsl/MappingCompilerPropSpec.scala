@@ -1,0 +1,114 @@
+package graft.dsl
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkTestBase
+import graft.model.SchemaLoader
+
+/** Property-based parity: the compiled Column plan vs an INDEPENDENT plain
+  * Scala interpreter of the reference's replacement-chain semantics
+  * (etl/target/c3dc_etl.py:203-246 matching, :1291-1293 default,
+  * :1189-1219/:1295-1322 allowed-value gating), over ScalaCheck-generated
+  * mappings and source values. Scope: single source field, plain string
+  * output, literal new_values (macros/enums/compounds have their own
+  * example-based specs). Two implementations agreeing on 400 random
+  * programs is the strongest guard against compile-time when-chain bugs.
+  */
+class MappingCompilerPropSpec extends SparkTestBase {
+
+  private val schema = SchemaLoader.fromJson("""
+  {"$defs": {"profile": {"type": "object", "properties": {
+    "out": {"type": "string"}
+  }}}}""")
+
+  // ---- the independent interpreter (reference semantics, plain Scala) ----
+
+  private def cf(s: String): String = s.trim.toLowerCase
+
+  private def interpret(
+      src: Option[String], default: Option[String],
+      chain: Seq[(String, String)]): Option[String] = {
+    // blank = null or exactly "" (GraftFunctions.blank)
+    val defaulted: Option[String] = src match {
+      case None | Some("") => default.orElse(src)
+      case s => s
+    }
+    def matches(o: String): Boolean = {
+      val ot = cf(o)
+      if (ot == "*") true
+      else if (ot == "+") src.exists(v => cf(v) != "")
+      else if (ot.isEmpty) false
+      else src.exists(v => cf(v) == ot)
+    }
+    val matched = chain.collectFirst { case (o, n) if matches(o) => n }
+    val value = matched.orElse(defaulted)
+    // P5 gate: literal old_values with nonempty new_value form the allowed
+    // set; empty set = no gating; '' in the set admits null
+    val allowed = chain.collect {
+      case (o, n) if o != "*" && o != "+" && n.nonEmpty => cf(o)
+    }.toSet
+    if (allowed.isEmpty) value
+    else {
+      val probe =
+        if (allowed.contains("")) Some(defaulted.map(cf).getOrElse(""))
+        else defaulted.map(cf)
+      if (probe.exists(allowed.contains)) value else None
+    }
+  }
+
+  // ---- generators -------------------------------------------------------
+
+  private val literalGen = Gen.oneOf("AUTO", "auto ", " Building", "x;y", "", "7", "Zed")
+  private val srcGen = Gen.oneOf[Option[String]](
+    None, Some(""), Some(" "), Some("AUTO"), Some("auto"), Some(" aUtO "),
+    Some("Building"), Some("other"), Some("7"), Some("x;y"))
+  private val oldGen = Gen.oneOf("*", "+", "AUTO", "auto", " Building", "", "zed")
+  private val newGen = Gen.oneOf("Mapped-A", "Mapped-B", "", "7")
+  private val caseGen: Gen[(Option[String], Option[String], List[(String, String)])] =
+    for {
+      src <- srcGen
+      default <- Gen.option(Gen.oneOf("DEF", ""))
+      n <- Gen.choose(0, 4)
+      chain <- Gen.listOfN(n, Gen.zip(oldGen, newGen))
+    } yield (src, default, chain)
+
+  test("compiled plan == reference interpreter on 400 random mapping programs") {
+    val s = spark
+    val cases = Gen.listOfN(400, caseGen)
+      .apply(Gen.Parameters.default, Seed(42L))
+      .getOrElse(fail("generator exhausted"))
+
+    // one wide single-row frame: column i holds case i's source value, and
+    // the compiled mapping for case i reads exactly that column — the whole
+    // parity check is ONE Spark job
+    val fields = cases.indices.map(i => StructField(s"src_$i", StringType))
+    val row = Row.fromSeq(cases.map(_._1.orNull))
+    val df = s.createDataFrame(
+      java.util.List.of(row), StructType(fields))
+
+    val compiler = new MappingCompiler(schema)
+    val outCols = cases.zipWithIndex.map { case ((_, default, chain), i) =>
+      val m = Mapping(
+        outputField = "profile.out",
+        sourceField = s"src_$i",
+        defaultValue = default.map(ReplacementValue.Scalar),
+        replacements = chain.map { case (o, n) =>
+          Replacement(o, ReplacementValue.Scalar(n))
+        })
+      compiler.compile(m, CompileCtx("seed", "profile", "0",
+        org.apache.spark.sql.functions.lit("rk"), i)).as(s"out_$i")
+    }
+    val got = df.select(outCols: _*).collect().head
+
+    cases.zipWithIndex.foreach { case ((src, default, chain), i) =>
+      val expected = interpret(src, default, chain)
+      val actual = Option(got.getString(i))
+      assert(actual == expected,
+        s"case $i: src=$src default=$default chain=$chain → " +
+          s"compiled=$actual interpreter=$expected")
+    }
+  }
+}
