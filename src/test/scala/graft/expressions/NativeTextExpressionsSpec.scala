@@ -58,6 +58,37 @@ class NativeTextExpressionsSpec extends SparkTestBase {
     assert(got.toSeq == spec.toSeq)
   }
 
+  test("randomized parity: 200 generated texts agree native-vs-HOF on all kernels") {
+    // deterministic random texts: mixed vocab, repeats, odd whitespace runs
+    // (tabs/newlines/multi-space), mixed case, unicode, tiny docs
+    val rnd = new scala.util.Random(777)
+    val vocab = Vector("the", "Fox", "jumps", "dup", "a", "Ümläut", "x9", "-")
+    val seps = Vector(" ", "  ", "\t", "\n", " \t ")
+    val texts = Seq.fill(200) {
+      val n = rnd.nextInt(8)
+      (0 until n).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(seps(rnd.nextInt(seps.size)))
+    }.toDF("text").localCheckpoint(false)
+
+    val simSpec = texts
+      .withColumn("hs", transform(tokens(col("text")), tk => h60(tk)))
+      .selectExpr(simhashSql("hs") + " AS want").as[Long].collect().toSeq
+    val simGot = texts.select(call_function("graft_simhash60", col("text")))
+      .as[Long].collect().toSeq
+    assert(simGot == simSpec)
+
+    val shSpec = texts.select(array_sort(hashedShingleSet(col("text"))))
+      .as[Seq[Long]].collect().toSeq
+    val shGot = texts.select(array_sort(call_function("graft_shingle_hashes", col("text"))))
+      .as[Seq[Long]].collect().toSeq
+    assert(shGot == shSpec)
+
+    val sgSpec = texts.select(shingles(tokens(col("text")), 3)).as[Seq[String]].collect().toSeq
+    val sgGot = texts.select(call_function("graft_shingle_strings", col("text")))
+      .as[Seq[String]].collect().toSeq
+    assert(sgGot == sgSpec)
+  }
+
   test("null input yields null, not a crash") {
     val n = Seq[Option[String]](None, Some("a b c d")).toDF("text")
     val r = n.select(

@@ -69,6 +69,29 @@ class NativeVectorExpressionsSpec extends SparkTestBase {
     assert(got(0).isNullAt(0), "native kernel must match the HOF's null")
   }
 
+  test("randomized parity: 100 generated vectors agree native-vs-HOF on all kernels") {
+    // deterministic pseudo-random vectors (fixed seed — reproducible runs)
+    val rnd = new scala.util.Random(4242)
+    val gen = Seq.fill(100)(Seq.fill(16)((rnd.nextFloat() - 0.5f) * 8f)).toDF("v")
+      .localCheckpoint(false)
+    val q = gen.select(quantize(col("v")).as("q")).withColumn("b", reverse(col("q")))
+
+    val dotSpec = q.select(dotQ(col("q"), col("b"))).as[Long].collect().toSeq
+    val dotGot = q.select(call_function("graft_dot_milli", col("q"), col("b")))
+      .as[Long].collect().toSeq
+    assert(dotGot == dotSpec)
+
+    val qzSpec = gen.select(quantize(col("v"))).as[Seq[Long]].collect().toSeq
+    val qzGot = gen.select(call_function("graft_quantize_milli", col("v")))
+      .as[Seq[Long]].collect().toSeq
+    assert(qzGot == qzSpec)
+
+    val lshSpec = q.select(lshBandKeys(col("q"), 4, 4, 16)).as[Seq[String]].collect().toSeq
+    val lshGot = q.select(call_function("graft_lsh_bands",
+      col("q"), lit(4), lit(4), lit(16))).as[Seq[String]].collect().toSeq
+    assert(lshGot == lshSpec)
+  }
+
   test("null input yields null, not a crash") {
     val n = Seq[Option[Seq[Float]]](None, Some(Seq(1.0f, 2.0f))).toDF("v")
     val r = n.select(
