@@ -31,6 +31,25 @@ class DeduperSpec extends SparkTestBase {
       Seq("xform1", "xform2"))
   }
 
+  test("content hash is invariant to column order, array order, and volatile fields") {
+    import org.apache.spark.sql.functions.col
+    // participant node: own id and observation id-lists are volatile
+    // (blanked before hashing); segment is real content
+    val a = Seq(("P1", Seq("s2", "s1"), "AUTO"))
+      .toDF("participant_id", "survival.survival_id", "segment")
+    // different id, different survival list, reversed array, reordered cols
+    val b = Seq(("OTHER", Seq("zz"), "AUTO"))
+      .toDF("participant_id", "survival.survival_id", "segment")
+      .select(col("segment"), col("`survival.survival_id`"), col("participant_id"))
+    def hash(df: org.apache.spark.sql.DataFrame): String =
+      df.select(Deduper.contentHash("participant", df)).as[String].collect().head
+    assert(hash(a) == hash(b), "volatile fields and orderings must not affect the hash")
+
+    val c = Seq(("P1", Seq("s1"), "BUILDING"))
+      .toDF("participant_id", "survival.survival_id", "segment")
+    assert(hash(a) != hash(c), "real content must affect the hash")
+  }
+
   test("same content for different participants is NOT deduped") {
     val t1 = frame(Seq(("u1", "Glioma", "P1"), ("u2", "Glioma", "P2")))
     val (deduped, report) = Deduper.dedupe(
