@@ -107,7 +107,10 @@ object SimilarityOps {
     val probes = nearestCells(e.filter(expr(QuerySetSql)), NProbe)
       .select(col("cent_id"), col("vec_id").as("query_id"),
         col("q").as("qq"), col("nrm").as("qn"))
-    val scored = assigned.join(probes, Seq("cent_id"))
+    // probes are |queryset| x nprobe rows BY CONSTRUCTION — broadcast
+    // explicitly (post-window stats are unknown, so without the hint the
+    // pre-AQE plan sort-merges the whole assigned corpus on cent_id)
+    val scored = assigned.join(broadcast(probes), Seq("cent_id"))
       .select(col("query_id"), col("vec_id"),
         (dotQN(col("qq"), col("q")).cast("double") /
           (col("qn") * col("nrm"))).as("cosine"))

@@ -84,4 +84,22 @@ class PlanAssertionsSpec extends SparkTestBase {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("t1_token_stats: documents scan prunes to doc_id + text") {
+    val scan = Registry.byName("t1_token_stats").fn(spark, sf)
+      .queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("doc_id") && scan.contains("text"), scan)
+    assert(!scan.contains("lang") && !scan.contains("source"), scan)
+  }
+
+  test("sim3_ivf_ann: centroid assignment broadcasts, nothing sort-merges") {
+    val p = plan("sim3_ivf_ann")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("d1_exact_dedup: fingerprint groupBy partial-aggregates map-side") {
+    val p = plan("d1_exact_dedup")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
 }
