@@ -208,15 +208,17 @@ object SimilarityOps {
         // joins on (query_id, vec_id); counts stay integers so the compare
         // is hash-exact. Ground truth is computed once and reused for both
         // ANN paths (localCheckpoint — three consumers).
+        // every frame here is |queries| x k rows by construction —
+        // broadcast the join sides so nothing sort-merges pre-AQE
         val truth = bruteTopk(s, dir)
           .select(col("query_id"), col("vec_id")).localCheckpoint(false)
         def hits(ann: DataFrame, name: String) =
-          truth.join(ann.select(col("query_id"), col("vec_id")),
+          truth.join(broadcast(ann.select(col("query_id"), col("vec_id"))),
               Seq("query_id", "vec_id"), "left_semi")
             .groupBy(col("query_id")).agg(count(lit(1)).as(name))
         truth.groupBy(col("query_id")).agg(count(lit(1)).as("n_true"))
-          .join(hits(lshTopk(s, dir), "n_lsh"), Seq("query_id"), "left")
-          .join(hits(ivfTopk(s, dir), "n_ivf"), Seq("query_id"), "left")
+          .join(broadcast(hits(lshTopk(s, dir), "n_lsh")), Seq("query_id"), "left")
+          .join(broadcast(hits(ivfTopk(s, dir), "n_ivf")), Seq("query_id"), "left")
           .select(
             col("query_id"), col("n_true"),
             coalesce(col("n_lsh"), lit(0L)).as("n_lsh"),
