@@ -32,6 +32,30 @@ object TextOps {
     "fr" -> Seq("le", "la", "les", "et", "est"),
     "zh" -> Seq("de", "shi", "le", "bu", "wo"))
 
+  /** Marker-argmax language id over a text column (t3's core expression,
+    * reused by the corpus-filter composition tp1).
+    */
+  private[queries] def detectedLang(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val toks = tokens(lower(text))
+    val ranked = LangMarkers.zipWithIndex.map { case ((code, markers), i) =>
+      struct(
+        size(filter(toks, x => x.isin(markers.map(lit(_)): _*))).as("hits"),
+        lit(LangMarkers.length - i).as("prio"),
+        lit(code).as("code"))
+    }
+    array_max(array(ranked: _*)).getField("code")
+  }
+
+  /** The t3 oracle's ranked-struct list literal (shared with tp1's oracle). */
+  private[queries] val DetectedLangSql: String =
+    """list_max([
+       {'hits': len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))), 'prio': 5, 'code': 'en'},
+       {'hits': len(list_filter(toks, x -> list_contains(['el','la','de','que','y'], x))), 'prio': 4, 'code': 'es'},
+       {'hits': len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))), 'prio': 3, 'code': 'de'},
+       {'hits': len(list_filter(toks, x -> list_contains(['le','la','les','et','est'], x))), 'prio': 2, 'code': 'fr'},
+       {'hits': len(list_filter(toks, x -> list_contains(['de','shi','le','bu','wo'], x))), 'prio': 1, 'code': 'zh'}
+      ])['code']"""
+
   def qs: Seq[Q] = Seq(
     Q(
       "t1_token_stats",
@@ -226,6 +250,41 @@ object TextOps {
               FROM tok JOIN vocab USING (tok)
               GROUP BY doc_id"""),
       doc = "Text: corpus-frequency-rank quality score (integer-exact LM-filter analogue)"),
+
+    Q(
+      "tp1_corpus_filter",
+      (s, dir) => {
+        // PIPELINE COMPOSITION: the filters a pretraining corpus pass runs
+        // in sequence — language-id agreement with the label, a minimum
+        // token count, exact-dup removal (keep the min doc_id per content
+        // fingerprint) — then per-source survivorship accounting. One
+        // narrow pass computes every per-doc signal; the dedup groupBy and
+        // the source rollup are the only shuffles.
+        val d = t(s, dir, "documents")
+          .withColumn("n_toks", size(tokens(col("text"))))
+          .withColumn("det", detectedLang(col("text")))
+          .filter(col("det") === col("lang") && col("n_toks") >= 25)
+          .withColumn("fp", call_function("graft_content_fingerprint", col("text")))
+          .localCheckpoint(false) // consumed by keeper-agg AND final join
+        val keepers = d.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        d.join(keepers, Seq("fp", "doc_id"), "left_semi")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_toks").cast("long")).as("sum_tokens"))
+      },
+      Some(s"""WITH q AS (
+                SELECT doc_id, source, lang, text,
+                  list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks,
+                  len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_toks
+                FROM documents),
+              f AS (SELECT * FROM q
+                    WHERE $DetectedLangSql = lang AND n_toks >= 25),
+              k AS (SELECT min(doc_id) AS doc_id
+                    FROM f GROUP BY md5(array_to_string(toks, ' '))),
+              kept AS (SELECT f.* FROM f JOIN k USING (doc_id))
+              SELECT source, count(*) AS n_docs, sum(n_toks)::BIGINT AS sum_tokens
+              FROM kept GROUP BY source"""),
+      doc = "Composition: langid + token floor + exact dedup → survivorship"),
 
     Q(
       "t5_corpus_ngrams",
