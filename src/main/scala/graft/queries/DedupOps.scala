@@ -335,9 +335,9 @@ object DedupOps {
           .filter(col("cosine") >= 0.4)
       },
       Some("""WITH e AS (SELECT vec_id,
-                list_transform(embedding, x -> round(x*1000)::BIGINT) AS q,
-                sqrt(list_dot_product(list_transform(embedding, x -> round(x*1000)::BIGINT),
-                                      list_transform(embedding, x -> round(x*1000)::BIGINT))) AS nrm
+                list_transform(embedding, x -> round(x::DOUBLE*1000)::BIGINT) AS q,
+                sqrt(list_dot_product(list_transform(embedding, x -> round(x::DOUBLE*1000)::BIGINT),
+                                      list_transform(embedding, x -> round(x::DOUBLE*1000)::BIGINT))) AS nrm
                 FROM embeddings),
               bands AS (SELECT vec_id, q, nrm,
                 unnest([ b || '#' ||

@@ -125,7 +125,7 @@ object SimilarityOps {
 
   private val Sim1Sql =
     s"""WITH e AS (SELECT vec_id,
-          list_transform(embedding, x -> round(x*1000)::BIGINT) AS q
+          list_transform(embedding, x -> round(x::DOUBLE*1000)::BIGINT) AS q
           FROM embeddings),
         scored AS (SELECT qs.vec_id AS query_id, c.vec_id,
           list_dot_product(qs.q, c.q) /
@@ -138,7 +138,7 @@ object SimilarityOps {
 
   private val Sim2Sql =
     s"""WITH e AS (SELECT vec_id,
-          list_transform(embedding, x -> round(x*1000)::BIGINT) AS q
+          list_transform(embedding, x -> round(x::DOUBLE*1000)::BIGINT) AS q
           FROM embeddings),
         b AS (SELECT vec_id, q,
           unnest([ bb || '#' ||
@@ -159,7 +159,7 @@ object SimilarityOps {
 
   private val Sim3Sql =
     s"""WITH e AS (SELECT vec_id,
-          list_transform(embedding, x -> round(x*1000)::BIGINT) AS q
+          list_transform(embedding, x -> round(x::DOUBLE*1000)::BIGINT) AS q
           FROM embeddings),
         n AS (SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS nrm FROM e),
         cents AS (SELECT vec_id AS cent_id, q AS cq, nrm AS cn
