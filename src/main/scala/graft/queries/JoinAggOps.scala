@@ -213,6 +213,29 @@ object JoinAggOps {
       doc = "ROLLUP grouping sets: multi-level aggregate in one Expand pass"),
 
     Q(
+      "a12_exact_percentiles",
+      (s, dir) =>
+        // exact (not sketched) quartiles per group — the other HOLISTIC
+        // aggregate family: per-group sort inside the aggregate, one
+        // shuffle on the group key. Quartile fractions are exact binary
+        // fractions over integer-valued data, so linear interpolation is
+        // bit-identical across engines.
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            percentile(col("l_quantity"), lit(0.25)).as("p25"),
+            percentile(col("l_quantity"), lit(0.5)).as("p50"),
+            percentile(col("l_quantity"), lit(0.75)).as("p75"),
+            count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag,
+              quantile_cont(l_quantity, 0.25) AS p25,
+              quantile_cont(l_quantity, 0.50) AS p50,
+              quantile_cont(l_quantity, 0.75) AS p75,
+              COUNT(*) AS n
+              FROM lineitem GROUP BY l_returnflag"""),
+      doc = "Holistic exact per-group quartiles (bit-stable interpolation)"),
+
+    Q(
       "a11_salted_rollup",
       (s, dir) =>
         // the salted two-phase path for HOLISTIC aggregates on skewed keys
