@@ -1,0 +1,107 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dsl.{Transformation, TransformationSpec}
+import graft.exec.{Deduper, Harmonizer}
+import graft.model.{C3dcSchema, SchemaLoader}
+import graft.sink.HarmonizedJsonSink
+import graft.sources.SourceReader
+import graft.validate.{GraphValidator, OutputValidator}
+
+/** The config-driven pipeline entry (SURVEY §3.1 / §7.1 `engine/`): the
+  * Spark analogue of running the reference's `c3dc_etl.py` against a
+  * `.env` — schema compile, transformation load, source scan, per-
+  * transformation harmonization, duplicate-id + schema + graph
+  * validation, per-transformation harmonized JSON docs, and the merged
+  * cross-transformation output with first-wins dedup + duplicate report.
+  *
+  * Orchestration only — every step is a library component with its own
+  * spec; this class owns sequencing and file layout, not semantics.
+  */
+object EtlRunner {
+
+  /** @param sourceFormat "csv" | "tsv"
+    * @param rowKeyColumn source column providing each row's natural key
+    *                     (feeds deterministic {uuid}s)
+    */
+  final case class Config(
+      schemaPath: String,
+      transformationsPath: String,
+      sourcePath: String,
+      rowKeyColumn: String,
+      outDir: String,
+      sourceFormat: String = "csv")
+
+  /** @param recordCounts (transformation, node) → records written
+    * @param duplicateIds per-node duplicate-id frame rows (must be 0 for
+    *                     a valid run — the reference aborts, we report)
+    * @param violations   schema-violation rows across all nodes
+    * @param duplicates   cross-transformation duplicate-report rows
+    */
+  final case class Result(
+      recordCounts: Map[(String, String), Long],
+      duplicateIds: Long,
+      violations: Long,
+      duplicates: Long)
+
+  def run(spark: SparkSession, config: Config): Result = {
+    val schema: C3dcSchema = SchemaLoader.fromFile(config.schemaPath)
+    val xforms: Seq[Transformation] = TransformationSpec.fromFile(config.transformationsPath)
+    val source: DataFrame = config.sourceFormat match {
+      case "csv" => SourceReader.csv(spark, config.sourcePath)
+      case "tsv" => SourceReader.tsv(spark, config.sourcePath)
+      case other => throw new IllegalArgumentException(s"unsupported source format $other")
+    }
+    new java.io.File(config.outDir).mkdirs()
+
+    // per-transformation harmonize + validate + K1 doc
+    val perXform: Seq[(Transformation, Map[String, DataFrame])] = xforms.map { x =>
+      val nodes = new Harmonizer(schema, x)
+        .harmonize(source, col("`" + config.rowKeyColumn + "`").cast("string"))
+        .view.mapValues(_.localCheckpoint(false)).toMap // consumed by doc+validate+merge
+      HarmonizedJsonSink.writeDocument(nodes, s"${config.outDir}/${x.name}.harmonized.json")
+      (x, nodes)
+    }
+
+    val recordCounts: Map[(String, String), Long] = perXform.flatMap {
+      case (x, nodes) => nodes.map { case (n, df) => (x.name, n) -> df.count() }
+    }.toMap
+
+    val duplicateIds: Long = perXform.map { case (_, nodes) =>
+      nodes.map { case (n, df) =>
+        GraphValidator.duplicateIds(df, graft.model.NodeType.idProperty(n)).count()
+      }.sum
+    }.sum
+
+    val violations: Long = perXform.map { case (_, nodes) =>
+      OutputValidator.validateAll(schema, nodes).count()
+    }.sum
+
+    // merged output: first-occurrence-wins across transformations (A7/K2)
+    // + duplicate report (K3)
+    val nodeNames = perXform.flatMap(_._2.keys).distinct
+    var duplicates = 0L
+    val merged: Map[String, DataFrame] = nodeNames.map { n =>
+      val frames = perXform.zipWithIndex.collect {
+        case ((x, nodes), i) if nodes.contains(n) => (x.name, i, nodes(n))
+      }
+      val pidCol =
+        if (n == "participant") Some("participant_id")
+        else if (frames.exists(_._3.columns.contains("participant.participant_id")))
+          Some("participant.participant_id")
+        else None
+      val (deduped, report) = Deduper.dedupe(n, frames, pidCol)
+      val rep = report.withColumn("transformations",
+        array_join(col("transformations"), ";"))
+      duplicates += rep.count()
+      rep.coalesce(1).write.mode("overwrite")
+        .option("header", true).csv(s"${config.outDir}/duplicates_$n")
+      n -> deduped
+    }.toMap
+    HarmonizedJsonSink.writeDocument(merged, s"${config.outDir}/merged.harmonized.json")
+
+    Result(recordCounts, duplicateIds, violations, duplicates)
+  }
+}
