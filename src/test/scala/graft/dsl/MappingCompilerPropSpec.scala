@@ -75,6 +75,55 @@ class MappingCompilerPropSpec extends SparkTestBase {
       chain <- Gen.listOfN(n, Gen.zip(oldGen, newGen))
     } yield (src, default, chain)
 
+  // ---- compound-field (P2) interpreter ---------------------------------
+
+  /** Reference compound semantics (etl/target/c3dc_etl.py:226-246): per-
+    * ordinal match where '*' always matches, '+' needs nonblank, and the
+    * literal arm compares casefolded WITH blank==blank allowed.
+    */
+  private def interpretCompound(
+      srcs: Seq[Option[String]], olds: Seq[String]): Boolean =
+    srcs.zip(olds).forall { case (v, o) =>
+      val ot = cf(o)
+      if (ot == "*") true
+      else if (ot == "+") v.exists(x => cf(x) != "")
+      else v.map(cf).getOrElse("") == ot
+    }
+
+  test("compound match == reference interpreter on 300 random cases") {
+    val s = spark
+    val pairGen = for {
+      v1 <- srcGen; v2 <- srcGen
+      o1 <- oldGen; o2 <- oldGen
+      wildcardWhole <- Gen.oneOf(true, false, false)
+    } yield (Seq(v1, v2), if (wildcardWhole) "*" else s"$o1;$o2")
+    val cases = Gen.listOfN(300, pairGen)
+      .apply(Gen.Parameters.default, Seed(7L)).getOrElse(fail("gen exhausted"))
+
+    val fields = cases.indices.flatMap(i =>
+      Seq(StructField(s"a_$i", StringType), StructField(s"b_$i", StringType)))
+    val row = Row.fromSeq(cases.flatMap { case (vs, _) => Seq(vs(0).orNull, vs(1).orNull) })
+    val df = s.createDataFrame(java.util.List.of(row), StructType(fields))
+
+    val compiler = new MappingCompiler(schema)
+    val outCols = cases.zipWithIndex.map { case ((_, old), i) =>
+      val m = Mapping(
+        outputField = "profile.out",
+        sourceField = s"[a_$i, b_$i]",
+        replacements = Seq(Replacement(old, ReplacementValue.Scalar("HIT"))))
+      compiler.matchPredicate(m, old).as(s"m_$i")
+    }
+    val got = df.select(outCols: _*).collect().head
+    cases.zipWithIndex.foreach { case ((vs, old), i) =>
+      val olds =
+        if (old == "*" || old == "+") Seq.fill(2)(old)
+        else old.split(";", -1).toSeq
+      val expected = interpretCompound(vs, olds)
+      assert(got.getBoolean(i) == expected,
+        s"case $i: srcs=$vs old='$old' → compiled=${got.getBoolean(i)} interp=$expected")
+    }
+  }
+
   test("compiled plan == reference interpreter on 400 random mapping programs") {
     val s = spark
     val cases = Gen.listOfN(400, caseGen)

@@ -87,6 +87,46 @@ class EtlRunnerSpec extends SparkTestBase {
     assert(rep.columns.contains("transformations"))
   }
 
+  test("tooling composes: sheet rows -> unpivoter -> transformation JSON -> full run") {
+    import graft.dsl.MappingUnpivoter
+    import graft.dsl.MappingUnpivoter.SheetRow
+    val dir = Files.createTempDirectory("graft_etlrun3")
+    val schemaJson = """
+      {"$defs": {
+        "participant": {"type": "object", "required": ["participant_id"],
+          "properties": {
+            "participant_id": {"type": "string"},
+            "segment": {"type": "string", "enum": ["Auto", "Other"]}}}
+      }}"""
+    val schemaPath = write(dir, "schema.json", schemaJson)
+    // analyst-authored wide rows → engine transformation JSON on disk
+    val mappings = MappingUnpivoter.unpivot(Seq(
+      SheetRow("participant.participant_id", sourceVariable = "id"),
+      SheetRow("participant.segment", sourceVariable = "seg",
+        sourcePvTerm = "AUTOMOBILE", targetPvTerm = "Auto"),
+      // the P5 allowed-value gate admits only LISTED old_values, so the
+      // sheet enumerates BUILDING explicitly (a bare '+' fallback would
+      // gate unlisted source values to null — reference semantics)
+      SheetRow("participant.segment", sourceVariable = "seg",
+        sourcePvTerm = "BUILDING", targetPvTerm = "Other")),
+      graft.model.SchemaLoader.fromJson(schemaJson))
+    val xformPath = write(dir, "transformations.json",
+      MappingUnpivoter.toTransformationJson("sheet1", "seed", mappings))
+    val srcPath = write(dir, "source.csv", "id,seg\nP1,AUTOMOBILE\nP2,BUILDING\n")
+    val outDir = dir.resolve("out").toString
+
+    val result = EtlRunner.run(spark, EtlRunner.Config(
+      schemaPath, xformPath, srcPath, rowKeyColumn = "id", outDir = outDir))
+    assert(result.recordCounts(("sheet1", "participant")) == 2)
+    assert(result.violations == 0)
+    val doc = new ObjectMapper().readTree(
+      Files.readString(java.nio.file.Paths.get(s"$outDir/sheet1.harmonized.json")))
+    val segs = doc.get("participants").elements()
+    val seen = Iterator.continually(segs).takeWhile(_.hasNext)
+      .map(_.next().get("segment").asText()).toSet
+    assert(seen == Set("Auto", "Other"))
+  }
+
   test("violations surface for out-of-enum values instead of aborting") {
     val dir = Files.createTempDirectory("graft_etlrun2")
     val schemaPath = write(dir, "schema.json", """
