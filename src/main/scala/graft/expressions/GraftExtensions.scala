@@ -35,7 +35,8 @@ object GraftExtensions {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_simhash60" -> (es => Simhash60(es.head)),
     "graft_shingle_hashes" -> (es => ShingleHashes(es.head)),
-    "graft_shingle_strings" -> (es => ShingleStrings(es.head)),
+    "graft_shingle_strings" -> (es => ShingleStrings(es.head,
+      if (es.length > 1) intArg(es(1), "graft_shingle_strings") else 3)),
     "graft_content_fingerprint" -> (es => ContentFingerprint(es.head)),
     "graft_quantize_milli" -> (es => QuantizeMilli(es.head)),
     "graft_dot_milli" -> (es => DotMilli(es(0), es(1))),

@@ -66,13 +66,16 @@ case class ContentFingerprint(child: Expression) extends NativeTextExpression {
   override def prettyName: String = "graft_content_fingerprint"
 }
 
-/** 3-gram shingle strings with multiplicity (see `TextFunctions.shingles`). */
-case class ShingleStrings(child: Expression) extends NativeTextExpression {
+/** n-gram shingle strings with multiplicity (see `TextFunctions.shingles`);
+  * n is a plan-time constant baked into the generated code (3 = MinHash
+  * family default, 8 = span-level dedup).
+  */
+case class ShingleStrings(child: Expression, n: Int = 3) extends NativeTextExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override protected def kernelCall(c: String): String =
-    s"graft.expressions.TextKernels.shingleStrings($c)"
+    s"graft.expressions.TextKernels.shingleStrings($c, $n)"
   override protected def nullSafeEval(input: Any): Any =
-    TextKernels.shingleStrings(input.asInstanceOf[UTF8String])
+    TextKernels.shingleStrings(input.asInstanceOf[UTF8String], n)
   override protected def withNewChildInternal(newChild: Expression): ShingleStrings =
     copy(child = newChild)
   override def prettyName: String = "graft_shingle_strings"

@@ -133,16 +133,24 @@ object TextKernels {
     UTF8String.fromBytes(hex)
   }
 
-  /** Word-3-gram strings with multiplicity (space-joined), document order;
-    * fewer than 3 tokens → empty. Mirrors `TextFunctions.shingles`.
+  /** Word-n-gram strings with multiplicity (space-joined), document order;
+    * fewer than n tokens → empty. Mirrors `TextFunctions.shingles` for any
+    * n (3 for the MinHash family, 8 for span-level dedup).
     */
-  def shingleStrings(text: UTF8String): ArrayData = {
+  def shingleStrings(text: UTF8String, n: Int): ArrayData = {
     val toks = text.toString.split("\\s+").filter(_.nonEmpty)
-    if (toks.length < 3) return new GenericArrayData(Array.empty[AnyRef])
-    val out = new Array[AnyRef](toks.length - 2)
+    if (toks.length < n) return new GenericArrayData(Array.empty[AnyRef])
+    val out = new Array[AnyRef](toks.length - n + 1)
     var i = 0
-    while (i < toks.length - 2) {
-      out(i) = UTF8String.fromString(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+    while (i < out.length) {
+      val sb = new java.lang.StringBuilder(n * 8)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
       i += 1
     }
     new GenericArrayData(out)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.DedupFunctions._
+import graft.functions.HashFunctions.h60
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
 import Tables.t
@@ -305,6 +306,48 @@ object DedupOps {
               AND len(list_intersect(a.sh, b.sh))::DOUBLE /
                   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE >= 0.6"""),
       doc = "Dedup: inverted-index n-gram Jaccard with rare-shingle candidates"),
+
+    Q(
+      "d9_span_dupes",
+      (s, dir) => {
+        // span-level (positional) duplication: every 8-token span, WITH
+        // position multiplicity, counted corpus-wide; a doc's dup_permille
+        // is the share of its spans that occur anywhere else — the signal
+        // span-removal dedup thresholds on. One shuffle builds the global
+        // span counts, one joins them back (the span-dedup shuffle; AQE
+        // splits hot spans), one rolls up per doc.
+        // native n=8 shingle kernel: the HOF form (shingles(tokens(.),8))
+        // pays an interpreted slice+join per span and was 4x the whole
+        // query's cost at sf0.1
+        val spans = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(call_function("graft_shingle_strings", col("text"), lit(8))).as("sp_s"))
+          .select(col("doc_id"), h60(col("sp_s")).as("sp"))
+          .localCheckpoint(false) // feeds the counts AND the join back
+        val counts = spans.groupBy(col("sp")).agg(count(lit(1)).as("n"))
+        val dup = sum(when(col("n") > 1, 1L).otherwise(0L))
+        spans.join(counts, Seq("sp"))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_spans"),
+            dup.as("n_dup_spans"),
+            floor(dup.cast("double") * 1000d / count(lit(1)).cast("double"))
+              .cast("long").as("dup_permille"))
+      },
+      Some("""WITH tok AS (
+                SELECT doc_id,
+                  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+                FROM documents),
+              spans AS (SELECT doc_id,
+                  unnest([ ('0x'||substr(md5(array_to_string(w[i:i+7], ' ')),1,15))::BIGINT
+                           for i in range(1, len(w) - 6) ]) AS sp
+                FROM tok WHERE len(w) >= 8),
+              cnt AS (SELECT sp, count(*) AS n FROM spans GROUP BY sp)
+              SELECT doc_id, count(*) AS n_spans,
+                count(*) FILTER (n > 1) AS n_dup_spans,
+                (count(*) FILTER (n > 1) * 1000 // count(*))::BIGINT AS dup_permille
+              FROM spans JOIN cnt USING (sp) GROUP BY doc_id"""),
+      doc = "Dedup: positional 8-token span duplication ratios (span-removal signal)"),
 
     Q(
       "d6_embed_neardup",

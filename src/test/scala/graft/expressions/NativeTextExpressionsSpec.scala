@@ -49,6 +49,16 @@ class NativeTextExpressionsSpec extends SparkTestBase {
     assert(got.toSeq == spec.toSeq)
   }
 
+  test("graft_shingle_strings with explicit n matches shingles(tokens, n)") {
+    Seq(2, 8).foreach { n =>
+      val spec = docs.select(shingles(tokens(col("text")), n))
+        .as[Seq[String]].collect()
+      val got = docs.select(call_function("graft_shingle_strings", col("text"), lit(n)))
+        .as[Seq[String]].collect()
+      assert(got.toSeq == spec.toSeq, s"n=$n")
+    }
+  }
+
   test("graft_content_fingerprint matches the HOF contentFingerprint spec") {
     val mixed = docs.union(Seq("MiXeD CaSe  WORDS and\tÜmläuts ÉÉ").toDF("text"))
     val spec = mixed.select(graft.functions.TextFunctions.contentFingerprint(col("text")))
