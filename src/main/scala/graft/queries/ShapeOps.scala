@@ -129,6 +129,23 @@ object ShapeOps {
       doc = "Sessionization: 30-min gap-and-island windows (batch = streaming semantics)"),
 
     Q(
+      "w3_click_attribution",
+      (s, dir) =>
+        // interval self-join (batch form of the stream-stream join; the
+        // range condition is what bounds streaming state). The purchase
+        // and click sides filter one scan; Spark plans the equi-part on
+        // user_id and evaluates the interval as a join residual.
+        graft.streaming.EventStreaming.clickAttribution(
+          t(s, dir, "events"), "30 minutes", "1 hour"),
+      Some("""SELECT p.user_id, p.event_id AS purchase_id,
+              c.event_id AS click_id, p.value AS amount
+              FROM events p JOIN events c
+              ON p.event_type = 'purchase' AND c.event_type = 'click'
+              AND p.user_id = c.user_id
+              AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts"""),
+      doc = "Interval join: click->purchase attribution (stream-stream join, batch form)"),
+
+    Q(
       "w1_tumbling_window",
       (s, dir) =>
         t(s, dir, "events")

@@ -166,6 +166,29 @@ object EventStreaming {
         sum(col("value")).as("sum_value"))
   }
 
+  /** Stream-stream interval self-join: each purchase attributed to the
+    * same user's clicks within `window` BEFORE it. Batch and streaming
+    * share this function; with streaming inputs both sides are
+    * watermarked and the event-time range condition bounds the join
+    * state — Spark evicts buffered rows once the watermark passes
+    * `ts + window`, so state is proportional to the window, not history.
+    */
+  def clickAttribution(events: DataFrame, window: String, watermark: String): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value").as("amount"))
+      .withWatermark("p_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $window") &&
+          col("c_ts") <= col("p_ts"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"), col("amount"))
+  }
+
   /** File-arrival streaming source over a directory of parquet events —
     * the incremental form of the batch table scan. `maxFilesPerTrigger`
     * bounds per-batch work so backfills don't starve the trigger cadence.

@@ -111,6 +111,32 @@ class EventStreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("clickAttribution joins purchase to in-window clicks incrementally") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def at(id: Long, hm: String, typ: String, v: Double) =
+      StreamEvent(id, Timestamp.valueOf(s"2024-01-01 $hm:00"), 1L, typ, v, "{}")
+
+    val mem = MemoryStream[StreamEvent]
+    val q = EventStreaming.clickAttribution(mem.toDF(), "30 minutes", "1 hour")
+      .writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // click at 01:00 → purchase at 01:20 (in window); click at 02:30 is
+      // 50 min before the 03:20 purchase (out of window)
+      mem.addData(at(1, "01:00", "click", 0), at(2, "01:20", "purchase", 9.0))
+      q.processAllAvailable()
+      // a later batch joins against the buffered click state
+      mem.addData(at(3, "01:25", "purchase", 5.0),
+        at(4, "02:30", "click", 0), at(5, "03:20", "purchase", 7.0))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT purchase_id, click_id, amount FROM attr ORDER BY purchase_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq((2L, 1L, 9.0), (3L, 1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("dedupedEvents drops duplicate event_ids within the watermark") {
     val s = spark
     import s.implicits._
