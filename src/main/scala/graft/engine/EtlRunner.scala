@@ -52,6 +52,17 @@ object EtlRunner {
     val source: DataFrame = config.sourceFormat match {
       case "csv" => SourceReader.csv(spark, config.sourcePath)
       case "tsv" => SourceReader.tsv(spark, config.sourcePath)
+      case "jsondocs" =>
+        // MCI mode: per-subject form documents, flattened to one wide row
+        // per upi over exactly the mapping programs' source fields (S6's
+        // projection pushdown)
+        val mapped = xforms.flatMap(_.mappings)
+          .filterNot(_.isStringLiteralSource)
+          .flatMap(_.sourceFields).distinct
+        graft.sources.FormFlattener.flatten(
+          SourceReader.jsonDocs(spark, config.sourcePath,
+            graft.sources.FormFlattener.DocSchema),
+          mapped)
       case other => throw new IllegalArgumentException(s"unsupported source format $other")
     }
     new java.io.File(config.outDir).mkdirs()
