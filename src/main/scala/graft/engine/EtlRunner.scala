@@ -49,9 +49,13 @@ object EtlRunner {
   def run(spark: SparkSession, config: Config): Result = {
     val schema: C3dcSchema = SchemaLoader.fromFile(config.schemaPath)
     val xforms: Seq[Transformation] = TransformationSpec.fromFile(config.transformationsPath)
-    val source: DataFrame = config.sourceFormat match {
+    // lazy: CCDI "workbook" mode resolves per-node tabs inside
+    // harmonizeWorkbook and never evaluates a shared source frame
+    lazy val source: DataFrame = config.sourceFormat match {
       case "csv" => SourceReader.csv(spark, config.sourcePath)
       case "tsv" => SourceReader.tsv(spark, config.sourcePath)
+      case "workbook" => throw new IllegalStateException(
+        "workbook mode has no shared source frame")
       case "jsondocs" =>
         // MCI mode: per-subject form documents, flattened to one wide row
         // per upi over exactly the mapping programs' source fields (S6's
@@ -69,8 +73,12 @@ object EtlRunner {
 
     // per-transformation harmonize + validate + K1 doc
     val perXform: Seq[(Transformation, Map[String, DataFrame])] = xforms.map { x =>
-      val nodes = new Harmonizer(schema, x)
-        .harmonize(source, col("`" + config.rowKeyColumn + "`").cast("string"))
+      val h = new Harmonizer(schema, x)
+      val nodes0 =
+        if (config.sourceFormat == "workbook")
+          h.harmonizeWorkbook(SourceReader.workbookDir(spark, config.sourcePath))
+        else h.harmonize(source, col("`" + config.rowKeyColumn + "`").cast("string"))
+      val nodes = nodes0
         .view.mapValues(_.localCheckpoint(false)).toMap // consumed by doc+validate+merge
       HarmonizedJsonSink.writeDocument(nodes, s"${config.outDir}/${x.name}.harmonized.json")
       (x, nodes)

@@ -70,9 +70,26 @@ final class Harmonizer(schema: C3dcSchema, xform: Transformation) {
     * the cluster. Child-id rollups stay distributed (collect_list shuffles
     * with map-side partial aggregation).
     */
-  def harmonize(source: DataFrame, rowKey: Column): Map[String, DataFrame] = {
-    var built: Map[String, DataFrame] =
-      xform.nodeTypes.map(n => n -> buildNode(n, source, rowKey)).toMap
+  def harmonize(source: DataFrame, rowKey: Column): Map[String, DataFrame] =
+    linkGraph(xform.nodeTypes.map(n => n -> buildNode(n, source, rowKey)).toMap)
+
+  /** CCDI mode: each node builds from its tab-resolved workbook frame
+    * (graft.dsl.TabResolver) — singleton nodes still come from constants —
+    * then the same graph linking applies.
+    */
+  def harmonizeWorkbook(workbook: Map[String, DataFrame]): Map[String, DataFrame] =
+    linkGraph(xform.nodeTypes.map { n =>
+      n -> (if (isSingleton(n))
+        buildNode(n, workbook.values.head, lit("singleton"))
+      else graft.dsl.TabResolver.buildNode(schema, xform, n, workbook))
+    }.toMap)
+
+  /** Graph linking over already-built node frames (second half of the
+    * reference's `_transform_source_data`, shared by the tabular and
+    * workbook paths).
+    */
+  def linkGraph(built0: Map[String, DataFrame]): Map[String, DataFrame] = {
+    var built: Map[String, DataFrame] = built0
 
     val cgId: Option[String] = built.get("consent_group")
       .map(_.select(col("consent_group_id")).head.getString(0))

@@ -76,4 +76,46 @@ class FormFlattenerSpec extends SparkTestBase {
       .map(n => n.get("participant_id").asText() -> n.get("age").asLong()).toMap
     assert(byId == Map("u1" -> 12L, "u2" -> 9L))
   }
+
+  test("CCDI-mode EtlRunner run over a workbook directory") {
+    import graft.engine.EtlRunner
+    val dir = Files.createTempDirectory("graft_ccdi")
+    def write(name: String, content: String): String = {
+      val p = dir.resolve(name); Files.writeString(p, content); p.toString
+    }
+    val wb = Files.createDirectory(dir.resolve("workbook"))
+    Files.writeString(wb.resolve("patient.csv"),
+      "patient_id,seg\nP1,AUTOMOBILE\nP2,OTHER\n,ORPHAN\n")
+    Files.writeString(wb.resolve("visit.csv"),
+      "visit_id,points,patient_ref\nV1,7,P1\n")
+    val schemaPath = write("schema.json", """
+      {"$defs": {
+        "participant": {"type": "object", "required": ["participant_id"],
+          "properties": {
+            "participant_id": {"type": "string"},
+            "segment": {"type": "string", "enum": ["Auto", "Other"]}}},
+        "laboratory_test": {"type": "object", "required": ["laboratory_test_id"],
+          "properties": {
+            "laboratory_test_id": {"type": "string"},
+            "score": {"type": "integer"}}}
+      }}""")
+    val xformPath = write("transformations.json", """
+      {"name": "ccdi1", "uuid_seed": "s", "mappings": [
+        {"output_field": "participant.participant_id", "source_field": "patient.patient_id"},
+        {"output_field": "participant.segment", "source_field": "patient.seg",
+         "replacement_values": [
+           {"old_value": "AUTOMOBILE", "new_value": "Auto"},
+           {"old_value": "OTHER", "new_value": "Other"}]},
+        {"output_field": "laboratory_test.laboratory_test_id", "source_field": "visit.visit_id"},
+        {"output_field": "laboratory_test.score", "source_field": "visit.points"}
+      ]}""")
+    val out = dir.resolve("out").toString
+    val result = EtlRunner.run(spark, EtlRunner.Config(
+      schemaPath, xformPath, wb.toString, rowKeyColumn = "unused",
+      outDir = out, sourceFormat = "workbook"))
+    // blank-id patient row dropped by the per-tab filter
+    assert(result.recordCounts(("ccdi1", "participant")) == 2)
+    assert(result.recordCounts(("ccdi1", "laboratory_test")) == 1)
+    assert(result.violations == 0)
+  }
 }
