@@ -59,11 +59,7 @@ final class MappingCompiler(schema: C3dcSchema) {
     val rawSrc: Column =
       if (m.isStringLiteralSource || m.sourceFields.length > 1) lit(null).cast("string")
       else src(m.sourceField)
-    val defaultStr: Option[String] = m.defaultValue.map(joined)
-    val srcWithDefault: Column = defaultStr match {
-      case Some(d) => when(blank(rawSrc), lit(d)).otherwise(rawSrc)
-      case None    => rawSrc
-    }
+    val srcWithDefault: Column = defaultedSource(m)
 
     val chain = m.replacements.foldRight(lit(null).cast("string")) { (r, next) =>
       if (isMacro(r.newValue, "find_enum_value")) {
@@ -201,12 +197,36 @@ final class MappingCompiler(schema: C3dcSchema) {
     * committed configs (old_values are authored in data casing); we probe
     * casefolded-trimmed, consistent with rule matching.
     */
-  private def gate(m: Mapping, srcWithDefault: Column, value: Column): Column = {
+  private def gate(m: Mapping, srcWithDefault: Column, value: Column): Column =
+    gateAdmitted(m) match {
+      case None            => value
+      case Some(admitted)  => when(admitted, value)
+    }
+
+  /** The defaulted source expression compile() evaluates (blank source →
+    * mapping default) — also the value the warn channel reports.
+    */
+  def defaultedSource(m: Mapping): Column = {
+    val rawSrc: Column =
+      if (m.isStringLiteralSource || m.sourceFields.length > 1) lit(null).cast("string")
+      else src(m.sourceField)
+    m.defaultValue.map(joined) match {
+      case Some(d) => when(blank(rawSrc), lit(d)).otherwise(rawSrc)
+      case None    => rawSrc
+    }
+  }
+
+  /** P5 admission predicate: Some(pred) when the mapping is gated (pred
+    * true = value admitted), None when the gate doesn't apply. Shared by
+    * compile() (reject → NULL) and the warn-channel diagnostics
+    * (reject → reported row, the reference's "not allowed" warning).
+    */
+  def gateAdmitted(m: Mapping): Option[Column] = {
     val isMacroMapping = m.replacements.exists(r => r.newValue match {
       case ReplacementValue.Scalar(s) => s.trim.startsWith("{") && s.trim.endsWith("}")
       case _ => false
     })
-    if (isMacroMapping || m.isStringLiteralSource || m.sourceFields.length > 1) return value
+    if (isMacroMapping || m.isStringLiteralSource || m.sourceFields.length > 1) return None
     val prop = schema.prop(m.outputField)
     var allowed: Set[String] = m.replacements.collect {
       case Replacement(o, nv) if o != null && o != "*" && o != "+" && joined(nv).nonEmpty => o
@@ -218,14 +238,15 @@ final class MappingCompiler(schema: C3dcSchema) {
     if (m.replacements.exists(r =>
         (r.oldValue == "*" || r.oldValue == "+") && isMacro(r.newValue, "find_enum_value")))
       allowed = allowed ++ prop.codeToValue.keySet
-    if (allowed.isEmpty) value
+    if (allowed.isEmpty) None
     else {
       val folded = allowed.map(_.trim.toLowerCase)
+      val srcWithDefault = defaultedSource(m)
       // '' in the allowed set admits NULL too (reference :1216-1217)
       val probe =
         if (folded.contains("")) coalesce(cf(srcWithDefault), lit(""))
         else cf(srcWithDefault)
-      when(probe.isin(folded.toSeq.map(lit(_)): _*), value)
+      Some(probe.isin(folded.toSeq.map(lit(_)): _*))
     }
   }
 
