@@ -94,9 +94,25 @@ object EtlRunner {
       }.sum
     }.sum
 
-    val violations: Long = perXform.map { case (_, nodes) =>
-      OutputValidator.validateAll(schema, nodes).count()
+    // C2 violations persisted per transformation (reference writes its
+    // validation results; empty CSVs are cheap and make "no violations"
+    // an artifact, not an absence)
+    val violations: Long = perXform.map { case (x, nodes) =>
+      val v = OutputValidator.validateAll(schema, nodes).localCheckpoint(false)
+      v.coalesce(1).write.mode("overwrite")
+        .option("header", true).csv(s"${config.outDir}/violations_${x.name}")
+      v.count()
     }.sum
+
+    // warn channel: P5 gate rejections per transformation (tabular modes;
+    // workbook/jsondocs evaluate against per-node/flattened frames that
+    // the diagnostics API takes directly when wanted)
+    if (config.sourceFormat == "csv" || config.sourceFormat == "tsv")
+      xforms.foreach { x =>
+        graft.validate.MappingDiagnostics.gateRejections(schema, x, source)
+          .coalesce(1).write.mode("overwrite")
+          .option("header", true).csv(s"${config.outDir}/gate_rejections_${x.name}")
+      }
 
     // merged output: first-occurrence-wins across transformations (A7/K2)
     // + duplicate report (K3)

@@ -85,6 +85,12 @@ class EtlRunnerSpec extends SparkTestBase {
       .csv(s"$outDir/duplicates_participant")
     assert(rep.count() == 4)
     assert(rep.columns.contains("transformations"))
+
+    // violations + warn-channel reports exist (empty here, but written)
+    assert(new java.io.File(s"$outDir/violations_x1").exists())
+    val warn = spark.read.option("header", true)
+      .csv(s"$outDir/gate_rejections_x1")
+    assert(warn.columns.contains("occurrences") || warn.isEmpty)
   }
 
   test("tooling composes: sheet rows -> unpivoter -> transformation JSON -> full run") {
