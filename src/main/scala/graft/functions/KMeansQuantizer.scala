@@ -24,16 +24,25 @@ import org.apache.spark.sql.functions._
 object KMeansQuantizer {
 
   /** Squared L2 distance between a quantized vector column and a literal
-    * centroid (exact integer math).
+    * centroid: |q|² − 2·q·c + |c|², with the dot products on the NATIVE
+    * codegen kernel (graft_dot_milli) and |c|² a plan-time constant —
+    * exact integer math, no interpreted per-element lambda.
     */
   def sqDistTo(q: Column, centroid: Array[Long]): Column =
-    aggregate(
-      zip_with(q, typedlit(centroid.toSeq), (x, c) => (x - c) * (x - c)),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.dotQN(q, q) + reducedScore(q, centroid)
+
+  /** −2·q·c + |c|² — equals sqDist minus the per-row constant |q|², so
+    * argmin over these is argmin over true distances at 1/(k+1)th the
+    * dot-product work.
+    */
+  private def reducedScore(q: Column, centroid: Array[Long]): Column = {
+    val c2 = centroid.map(x => x * x).sum
+    lit(c2) - lit(2L) * graft.functions.VectorFunctions.dotQN(q, typedlit(centroid.toSeq))
+  }
 
   /** Argmin cell id over k literal centroids, ties to the lowest index. */
   def assignCell(q: Column, centroids: Array[Array[Long]]): Column = {
-    val dists = centroids.map(c => sqDistTo(q, c))
+    val dists = centroids.map(c => reducedScore(q, c))
     val best = least(dists: _*)
     dists.zipWithIndex.foldRight(lit(-1)) { case ((d, i), other) =>
       when(d === best, lit(i)).otherwise(other)

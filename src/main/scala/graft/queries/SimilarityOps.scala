@@ -202,6 +202,60 @@ object SimilarityOps {
       doc = "ANN scale path 2: IVF cell assignment + nprobe partition-pruned search"),
 
     Q(
+      "sim5_ivf_trained",
+      (s, dir) => {
+        // the PRODUCTION IVF composition: train the coarse quantizer with
+        // distributed k-means (KMeansQuantizer — deterministic integer
+        // Lloyd), assign the corpus, probe each query's nearest cells,
+        // exact cosine inside probed cells only. Training is iterative →
+        // not SQL-expressible, so this entry records the driver's
+        // rows-only check; the in-cell scoring exactness is oracle-proved
+        // by sim3 and training determinism by KMeansQuantizerSpec.
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), quantizeN(col("embedding")).as("q"))
+          .withColumn("nrm", sqrt(dotQN(col("q"), col("q")).cast("double")))
+          .localCheckpoint(false) // feeds training, assignment, and probing
+        // quantizers train on a SAMPLE (standard IVF practice — the
+        // centroids only steer recall); deterministic 1-in-10 by id.
+        // Training cost is then 10% of corpus per Lloyd iteration while
+        // assignment still covers every vector.
+        val (cents, _) = graft.functions.KMeansQuantizer.train(
+          e.filter(!expr(QuerySetSql) && col("vec_id") % 10 === 0),
+          "vec_id", "q", k = 8, iters = 3)
+        import s.implicits._
+        val centDf = broadcast(
+          cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+            .toDF("cent_id", "cq")
+            .withColumn("cn", sqrt(dotQN(col("cq"), col("cq")).cast("double"))))
+        def nearestCells(side: DataFrame, keep: Int) = {
+          val scored = side.crossJoin(centDf)
+            .select(col("vec_id"), col("q"), col("nrm"), col("cent_id"),
+              (dotQN(col("q"), col("cq")).cast("double") /
+                (col("nrm") * col("cn"))).as("ccos"))
+          val w = Window.partitionBy(col("vec_id"))
+            .orderBy(col("ccos").desc, col("cent_id"))
+          scored.withColumn("crank", row_number().over(w))
+            .filter(col("crank") <= keep)
+        }
+        val assigned = nearestCells(e.filter(!expr(QuerySetSql)), 1)
+          .select(col("cent_id"), col("vec_id"), col("q"), col("nrm"))
+        val probes = nearestCells(e.filter(expr(QuerySetSql)), NProbe)
+          .select(col("cent_id"), col("vec_id").as("query_id"),
+            col("q").as("qq"), col("nrm").as("qn"))
+        val scored = assigned.join(broadcast(probes), Seq("cent_id"))
+          .select(col("query_id"), col("vec_id"),
+            (dotQN(col("qq"), col("q")).cast("double") /
+              (col("qn") * col("nrm"))).as("cosine"))
+          .distinct()
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= K)
+      },
+      None, // iterative training is not SQL-expressible → rows-only check
+      doc = "ANN production path: k-means-trained IVF (train + assign + probe)"),
+
+    Q(
       "sim4_ann_recall",
       (s, dir) => {
         // recall@k per query point: |ANN-top-k ∩ true-top-k| via left-semi
