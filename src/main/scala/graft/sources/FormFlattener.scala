@@ -51,8 +51,11 @@ object FormFlattener {
         posexplode(col("__form.data")).as(Seq("__didx", "__e")))
       .select(col("upi"), col("__formId"),
         col("__e.form_field_id").as("__field"), col("__e.value").as("__value"),
-        // document order across forms and entries in one long
-        (col("__fidx").cast("long") * 1000000L + col("__didx")).as("__ord"))
+        // document order across forms and entries: struct ordering is
+        // lexicographic, so (form ordinal, entry ordinal) needs no packed
+        // encoding (a packed long would overflow/collide on forms with
+        // over a million entries)
+        struct(col("__fidx"), col("__didx")).as("__ord"))
 
     val aggs = mappedFields.map { f =>
       val cond = f.split("\\.", 2) match {
