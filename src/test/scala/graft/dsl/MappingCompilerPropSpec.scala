@@ -124,6 +124,45 @@ class MappingCompilerPropSpec extends SparkTestBase {
     }
   }
 
+  test("P6 integer conversion == python-round reference on 300 random numerics") {
+    // the reference coerces int(float(v)) but ROUNDS to absorb Excel float
+    // noise (etl/target/c3dc_etl.py:1345-1349); python round() is
+    // half-EVEN — parity asserted against plain-Scala BigDecimal HALF_EVEN
+    val s = spark
+    import s.implicits._
+    val intSchema = SchemaLoader.fromJson("""
+    {"$defs": {"profile": {"type": "object", "properties": {
+      "age": {"type": "integer"}
+    }}}}""")
+    val gen = Gen.oneOf(
+      Gen.choose(-1000000d, 1000000d).map(v => f"$v%.6f"),
+      Gen.oneOf("0.5", "1.5", "2.5", "-0.5", "-1.5", "3660.9999999", "42",
+        "-7.0", "abc", "", "1e3", "  12.49 "))
+    val cases = Gen.listOfN(300, gen)
+      .apply(Gen.Parameters.default, Seed(11L)).getOrElse(fail("gen exhausted"))
+
+    val compiler = new MappingCompiler(intSchema)
+    val m = Mapping(outputField = "profile.age", sourceField = "v")
+    val df = cases.toDF("v")
+    val got = df.select(compiler.compile(m,
+        CompileCtx("s", "profile", "0", org.apache.spark.sql.functions.lit("rk"))).as("age"))
+      .as[Option[Long]].collect().toSeq
+
+    def pyRound(s0: String): Option[Long] = {
+      val t = s0.trim
+      if (t.isEmpty) None
+      else try {
+        val d = t.toDouble
+        if (d.isNaN || d.isInfinite) None
+        else Some(new java.math.BigDecimal(d)
+          .setScale(0, java.math.RoundingMode.HALF_EVEN).longValue())
+      } catch { case _: NumberFormatException => None }
+    }
+    cases.zip(got).zipWithIndex.foreach { case ((in, out), i) =>
+      assert(out == pyRound(in), s"case $i: '$in' → compiled=$out python=${pyRound(in)}")
+    }
+  }
+
   test("compiled plan == reference interpreter on 400 random mapping programs") {
     val s = spark
     val cases = Gen.listOfN(400, caseGen)
