@@ -22,9 +22,13 @@ import graft.validate.{GraphValidator, OutputValidator}
   */
 object EtlRunner {
 
-  /** @param sourceFormat "csv" | "tsv"
+  /** @param sourceFormat "csv" | "tsv" (TARGET mode) | "workbook" (CCDI:
+    *                      directory of per-tab CSVs, tabs resolved from
+    *                      tab-qualified mapping fields) | "jsondocs" (MCI:
+    *                      directory of per-subject form documents)
     * @param rowKeyColumn source column providing each row's natural key
-    *                     (feeds deterministic {uuid}s)
+    *                     (feeds deterministic {uuid}s); "upi" for
+    *                     jsondocs, unused in workbook mode (per-tab ids)
     */
   final case class Config(
       schemaPath: String,
