@@ -222,17 +222,29 @@ object TextOps {
         // for LM-perplexity filters): every token gets its dense rank in
         // the corpus frequency table (rank 1 = most common), and a doc's
         // score is its mean token rank in permille. Rare-token-heavy docs
-        // score high. The rank table is VOCABULARY-sized, so the global
-        // rank window sorts a dimension table (then broadcasts), never the
-        // corpus — at 100 TB the token explode partial-aggregates into the
-        // vocab before anything global happens.
-        import org.apache.spark.sql.expressions.Window
+        // score high. SCALE SHAPE: at 100 TB of web text the distinct-token
+        // table is itself billions of rows (typos, URLs, numbers), so the
+        // rank must NOT come from an unpartitioned Window (single-partition
+        // sort) and the vocab must NOT be broadcast. orderBy here is a
+        // RANGE-partitioned distributed sort; zipWithIndex then assigns the
+        // global position with one per-partition count pass whose counts —
+        // not rows — reach the scheduler. (n desc, tok) is a total order
+        // because tok is the group key, so position + 1 == dense_rank
+        // exactly. The rank join back onto the token stream is a plain
+        // shuffle join on tok; AQE is free to downgrade it to broadcast at
+        // small scale, but nothing forces that at large scale.
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
         val toks = t(s, dir, "documents")
           .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
-          .withColumn("rank",
-            dense_rank().over(Window.orderBy(col("n").desc, col("tok"))).cast("long"))
-        toks.join(broadcast(vocab.select(col("tok"), col("rank"))), Seq("tok"))
+        val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok"))
+        val ranked = s.createDataFrame(
+          freq.rdd.zipWithIndex.map { case (r, i) => Row(r.getString(0), i + 1L) },
+          StructType(Seq(
+            StructField("tok", StringType, nullable = false),
+            StructField("rank", LongType, nullable = false))))
+        toks.join(ranked, Seq("tok"))
           .groupBy(col("doc_id"))
           .agg(
             count(lit(1)).as("n_tokens"),

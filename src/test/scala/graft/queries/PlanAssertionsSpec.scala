@@ -102,4 +102,16 @@ class PlanAssertionsSpec extends SparkTestBase {
     val p = plan("d1_exact_dedup")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("t7_freq_rank_quality: no single-partition exchange, no forced broadcast") {
+    // the vocabulary rank must come from a RANGE-partitioned sort — an
+    // `Exchange SinglePartition` here would be the 100 TB scale-killer
+    // (billions of distinct tokens through one sort partition), and the
+    // rank join must not be hint-forced to broadcast a vocab-sized side
+    val df = Registry.byName("t7_freq_rank_quality").fn(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange SinglePartition"), p)
+    val logical = df.queryExecution.analyzed.toString
+    assert(!logical.contains("ResolvedHint"), logical)
+  }
 }
