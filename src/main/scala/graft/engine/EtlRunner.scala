@@ -80,7 +80,8 @@ object EtlRunner {
       val h = new Harmonizer(schema, x)
       val nodes0 =
         if (config.sourceFormat == "workbook")
-          h.harmonizeWorkbook(SourceReader.workbookDir(spark, config.sourcePath))
+          // accepts a real .xlsx (native reader) or a {tab}.csv directory
+          h.harmonizeWorkbook(SourceReader.workbook(spark, config.sourcePath))
         else h.harmonize(source, col("`" + config.rowKeyColumn + "`").cast("string"))
       val nodes = nodes0
         .view.mapValues(_.localCheckpoint(false)).toMap // consumed by doc+validate+merge

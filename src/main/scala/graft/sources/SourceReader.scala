@@ -78,6 +78,19 @@ object SourceReader {
     }.toMap
   }
 
+  /** S3/S4 native XLSX entry point: a path ending in `.xlsx` is converted
+    * driver-side ([[XlsxConverter]], `data_only` semantics) into a scratch
+    * `{tab}.csv` directory and scanned through [[workbookDir]]; anything
+    * else is assumed to already BE such a directory. Study workbooks are
+    * MB-scale ingest edges — the distributed scan starts at the CSVs.
+    */
+  def workbook(spark: SparkSession, path: String, audit: Boolean = true): Map[String, DataFrame] =
+    if (path.toLowerCase.endsWith(".xlsx")) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_xlsx_").toString
+      XlsxConverter.convert(path, tmp)
+      workbookDir(spark, tmp, audit)
+    } else workbookDir(spark, path, audit)
+
   /** S4: drop rows whose `{tab}_id` is blank (CCDI per-tab filter). */
   def dropBlankId(df: DataFrame, tab: String): DataFrame =
     df.filter(nonBlank(col(s"${tab}_id")))

@@ -1,0 +1,216 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.zip.ZipFile
+
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
+
+import scala.collection.mutable
+
+/** Native XLSX ingest (SURVEY.md §2.1 S3/S4): a dependency-free OOXML
+  * worksheet reader built on the JDK's zip + StAX — an `.xlsx` file IS a
+  * zip of XML parts, so no spreadsheet library is needed for the subset
+  * the reference consumes.
+  *
+  * Semantics mirror the reference's `petl.fromxlsx(..., data_only=True)`
+  * (etl/target/c3dc_etl.py:515-537; streaming variant
+  * etl/ccdi/c3dc_etl.py:385-408):
+  *   - tabs appear in workbook order under their workbook names;
+  *   - `data_only`: a formula cell yields its CACHED computed value (the
+  *     `<v>` element) and the formula text is ignored; a formula cell the
+  *     producing application never evaluated yields blank;
+  *   - shared strings (`t="s"`), inline strings (`t="inlineStr"`), formula
+  *     strings (`t="str"`), booleans (`t="b"` → `True`/`False`, openpyxl's
+  *     Python bool rendering), and raw numeric/error text pass through;
+  *   - sparse rows/cells (OOXML omits empty trailing cells and rows)
+  *     re-expand into a dense grid, so downstream header alignment works.
+  *
+  * The converter is DRIVER-side by design: study workbooks are MB-scale
+  * ingest edges (the reference reads them whole into petl). The
+  * distributed path starts at the emitted `{tab}.csv` directory — exactly
+  * the contract [[SourceReader.workbookDir]] scans, which at 100 TB would
+  * be the splittable format a workbook export lands in anyway.
+  */
+object XlsxConverter {
+
+  /** Workbook → (sheet name, dense row grid) in workbook tab order. */
+  def readWorkbook(xlsxPath: String): Seq[(String, Seq[Seq[String]])] = {
+    val zip = new ZipFile(xlsxPath)
+    try {
+      val rels = parseRels(zip)
+      val shared = parseSharedStrings(zip)
+      parseSheetList(zip).map { case (name, rid) =>
+        val target = rels.getOrElse(rid,
+          throw new IllegalArgumentException(s"workbook sheet '$name' has unresolved relationship $rid"))
+        val part = if (target.startsWith("/")) target.drop(1) else s"xl/$target"
+        name -> parseWorksheet(zip, part, shared)
+      }
+    } finally zip.close()
+  }
+
+  /** Convert a workbook into the `{tab}.csv` directory contract; returns
+    * tab name → emitted csv path. Tab names are sanitized for the
+    * filesystem the same way the pivot sink does (path separators → `_`).
+    */
+  def convert(xlsxPath: String, outDir: String): Map[String, String] = {
+    Files.createDirectories(Paths.get(outDir))
+    readWorkbook(xlsxPath).map { case (name, rows) =>
+      val safe = name.replaceAll("[/\\\\]", "_")
+      val out = Paths.get(outDir, s"$safe.csv")
+      val sb = new java.lang.StringBuilder()
+      rows.foreach { r =>
+        sb.append(r.map(csvQuote).mkString(",")).append('\n')
+      }
+      Files.write(out, sb.toString.getBytes(StandardCharsets.UTF_8))
+      name -> out.toString
+    }.toMap
+  }
+
+  private def csvQuote(v: String): String =
+    if (v.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      "\"" + v.replace("\"", "\"\"") + "\""
+    else v
+
+  // hardened factory: workbook XML is untrusted input — no DTDs, no
+  // external entities
+  private def reader(zip: ZipFile, part: String): Option[XMLStreamReader] =
+    Option(zip.getEntry(part)).map { e =>
+      val f = XMLInputFactory.newInstance()
+      f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+      f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+      f.createXMLStreamReader(zip.getInputStream(e))
+    }
+
+  /** xl/_rels/workbook.xml.rels: relationship id → target part path. */
+  private def parseRels(zip: ZipFile): Map[String, String] = {
+    val r = reader(zip, "xl/_rels/workbook.xml.rels").getOrElse(
+      throw new IllegalArgumentException("not an xlsx workbook: missing xl/_rels/workbook.xml.rels"))
+    val out = mutable.Map[String, String]()
+    try while (r.hasNext) {
+      if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "Relationship")
+        out(attr(r, "Id").getOrElse("")) = attr(r, "Target").getOrElse("")
+    } finally r.close()
+    out.toMap
+  }
+
+  /** xl/workbook.xml: (sheet name, relationship id) in tab order. */
+  private def parseSheetList(zip: ZipFile): Seq[(String, String)] = {
+    val r = reader(zip, "xl/workbook.xml").getOrElse(
+      throw new IllegalArgumentException("not an xlsx workbook: missing xl/workbook.xml"))
+    val out = mutable.ArrayBuffer[(String, String)]()
+    try while (r.hasNext) {
+      if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "sheet") {
+        val name = attr(r, "name").getOrElse("")
+        // the r:id attribute lives in the officeDocument relationships
+        // namespace; match by local name to stay prefix-agnostic
+        val rid = (0 until r.getAttributeCount)
+          .find(i => r.getAttributeLocalName(i) == "id")
+          .map(r.getAttributeValue)
+          .getOrElse("")
+        out += name -> rid
+      }
+    } finally r.close()
+    out.toSeq
+  }
+
+  /** xl/sharedStrings.xml: one string per `<si>`, concatenating every
+    * `<t>` run (rich-text cells split one logical string across runs).
+    */
+  private def parseSharedStrings(zip: ZipFile): IndexedSeq[String] =
+    reader(zip, "xl/sharedStrings.xml").fold(IndexedSeq.empty[String]) { r =>
+      val out = mutable.ArrayBuffer[String]()
+      val cur = new java.lang.StringBuilder()
+      var inT = false
+      try while (r.hasNext) r.next() match {
+        case XMLStreamConstants.START_ELEMENT if r.getLocalName == "si" => cur.setLength(0)
+        case XMLStreamConstants.START_ELEMENT if r.getLocalName == "t" => inT = true
+        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "t" => inT = false
+        case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA if inT =>
+          cur.append(r.getText)
+        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "si" => out += cur.toString
+        case _ => ()
+      } finally r.close()
+      out.toIndexedSeq
+    }
+
+  /** One worksheet part → dense row grid (sparse refs re-expanded, every
+    * row padded to the sheet's max width).
+    */
+  private def parseWorksheet(
+      zip: ZipFile,
+      part: String,
+      shared: IndexedSeq[String]): Seq[Seq[String]] = {
+    val r = reader(zip, part).getOrElse(
+      throw new IllegalArgumentException(s"workbook references missing worksheet part $part"))
+    // (rowIdx, colIdx) -> value, collected sparsely then densified
+    val cells = mutable.Map[(Int, Int), String]()
+    var maxRow = -1
+    var maxCol = -1
+    var rowIdx = -1
+    var colIdx = -1
+    var cellType = "n"
+    var inV = false
+    var inIsT = false
+    var inF = false
+    val text = new java.lang.StringBuilder()
+    def flushCell(): Unit = if (colIdx >= 0) {
+      val raw = text.toString
+      val v = cellType match {
+        case "s" => raw.trim.toIntOption.flatMap(shared.lift).getOrElse("")
+        case "b" => if (raw.trim == "1") "True" else "False"
+        case _ => raw // "n" numeric, "str" formula string, "inlineStr", "e" error
+      }
+      if (v.nonEmpty) {
+        cells((rowIdx, colIdx)) = v
+        if (rowIdx > maxRow) maxRow = rowIdx
+        if (colIdx > maxCol) maxCol = colIdx
+      }
+      text.setLength(0)
+    }
+    try while (r.hasNext) r.next() match {
+      case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+        case "row" =>
+          rowIdx = attr(r, "r").flatMap(_.toIntOption).map(_ - 1).getOrElse(rowIdx + 1)
+          colIdx = -1
+        case "c" =>
+          // a missing ref means "next cell"; an explicit ref may skip columns
+          colIdx = attr(r, "r").map(colOf).getOrElse(colIdx + 1)
+          cellType = attr(r, "t").getOrElse("n")
+          text.setLength(0)
+        case "v" => inV = true
+        case "f" => inF = true // data_only: formula text is never a value
+        case "is" => inIsT = false
+        case "t" if !inF => inIsT = true
+        case _ => ()
+      }
+      case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA if inV || inIsT =>
+        text.append(r.getText)
+      case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
+        case "v" => inV = false
+        case "f" => inF = false
+        case "t" => inIsT = false
+        case "c" => flushCell()
+        case _ => ()
+      }
+      case _ => ()
+    } finally r.close()
+    (0 to maxRow).map { ri =>
+      (0 to maxCol).map(ci => cells.getOrElse((ri, ci), ""))
+    }
+  }
+
+  /** `"BC7"` → zero-based column index (A=0, Z=25, AA=26...). */
+  private def colOf(ref: String): Int = {
+    var v = 0
+    var i = 0
+    while (i < ref.length && ref.charAt(i).isLetter) {
+      v = v * 26 + (ref.charAt(i).toUpper - 'A' + 1)
+      i += 1
+    }
+    v - 1
+  }
+
+  private def attr(r: XMLStreamReader, name: String): Option[String] =
+    Option(r.getAttributeValue(null, name))
+}

@@ -1,0 +1,126 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** S3 native XLSX reader semantics against a hand-built OOXML workbook —
+  * the fixture is authored part by part (workbook.xml, rels,
+  * sharedStrings, worksheets) so the test exercises the format spec, not
+  * a writer library's subset of it. Covered: tab order + names, shared /
+  * inline / formula-string cells, `data_only` cached formula values,
+  * unevaluated formulas → blank, booleans as openpyxl renders them,
+  * sparse cell refs re-expanding into a dense grid, rich-text runs
+  * concatenating, and the end-to-end path through
+  * [[SourceReader.workbook]] with header hygiene downstream.
+  */
+class XlsxConverterSpec extends SparkTestBase {
+
+  private def buildXlsx(dir: Path): String = {
+    val f = dir.resolve("study.xlsx")
+    val z = new ZipOutputStream(Files.newOutputStream(f))
+    def part(name: String, body: String): Unit = {
+      z.putNextEntry(new ZipEntry(name))
+      z.write(body.getBytes("UTF-8"))
+      z.closeEntry()
+    }
+    part("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+    part("_rels/.rels",
+      """<?xml version="1.0"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+        |</Relationships>""".stripMargin)
+    // deliberately listed rId2-then-rId1 to prove tab order follows the
+    // <sheets> sequence, not relationship ids
+    part("xl/workbook.xml",
+      """<?xml version="1.0"?>
+        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        |          xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets>
+        |<sheet name="participant" sheetId="1" r:id="rId2"/>
+        |<sheet name="diagnosis" sheetId="2" r:id="rId1"/>
+        |</sheets>
+        |</workbook>""".stripMargin)
+    part("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/>
+        |<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+        |</Relationships>""".stripMargin)
+    // entry 2 is a rich-text string split across runs — must concatenate
+    part("xl/sharedStrings.xml",
+      """<?xml version="1.0"?>
+        |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">
+        |<si><t>participant_id</t></si>
+        |<si><t xml:space="preserve"> sex </t></si>
+        |<si><r><t>P</t></r><r><t>001</t></r></si>
+        |</sst>""".stripMargin)
+    // row 3: sparse (A skipped via explicit C-column ref on the 2nd cell);
+    // row 4: cached formula value (data_only) + unevaluated formula (blank)
+    part("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="inlineStr"><is><t>age_days</t></is></c><c r="D1" t="str"><v>enrolled</v></c></row>
+        |<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2" t="inlineStr"><is><t>F</t></is></c><c r="C2"><v>4015</v></c><c r="D2" t="b"><v>1</v></c></row>
+        |<row r="3"><c r="A3" t="inlineStr"><is><t>P002</t></is></c><c r="C3"><v>365</v></c><c r="D3" t="b"><v>0</v></c></row>
+        |<row r="4"><c r="A4" t="inlineStr"><is><t>P003</t></is></c><c r="B4" t="inlineStr"><is><t>M</t></is></c><c r="C4"><f>SUM(X1:X2)</f><v>730</v></c><c r="D4"><f>NEVER()</f></c></row>
+        |</sheetData>
+        |</worksheet>""".stripMargin)
+    part("xl/worksheets/sheet2.xml",
+      """<?xml version="1.0"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>diagnosis_id</t></is></c><c r="B1" t="inlineStr"><is><t>code, note</t></is></c></row>
+        |<row r="2"><c r="A2" t="inlineStr"><is><t>D1</t></is></c><c r="B2" t="inlineStr"><is><t>C71.9 "primary"</t></is></c></row>
+        |</sheetData>
+        |</worksheet>""".stripMargin)
+    z.close()
+    f.toString
+  }
+
+  private def tmp(): Path = {
+    val d = Files.createTempDirectory("xlsx")
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  test("readWorkbook: tab order, cell types, data_only, sparse grid") {
+    val grid = XlsxConverter.readWorkbook(buildXlsx(tmp()))
+    assert(grid.map(_._1) == Seq("participant", "diagnosis"))
+    val part = grid.head._2
+    assert(part(0) == Seq("participant_id", " sex ", "age_days", "enrolled"))
+    assert(part(1) == Seq("P001", "F", "4015", "True")) // rich-text run concat + bool
+    assert(part(2) == Seq("P002", "", "365", "False")) // skipped B stays blank
+    assert(part(3) == Seq("P003", "M", "730", "")) // cached 730; NEVER() blank
+  }
+
+  test("convert: emitted CSV round-trips commas, quotes, and blanks") {
+    val d = tmp()
+    val out = XlsxConverter.convert(buildXlsx(d), d.resolve("csvs").toString)
+    assert(out.keySet == Set("participant", "diagnosis"))
+    val diag = new String(Files.readAllBytes(Files.list(d.resolve("csvs"))
+      .filter(_.getFileName.toString == "diagnosis.csv").findFirst().get()), "UTF-8")
+    assert(diag == "diagnosis_id,\"code, note\"\nD1,\"C71.9 \"\"primary\"\"\"\n")
+  }
+
+  test("SourceReader.workbook: end-to-end .xlsx scan with header hygiene") {
+    val d = tmp()
+    val tabs = SourceReader.workbook(spark, buildXlsx(d))
+    assert(tabs.keySet == Set("participant", "diagnosis"))
+    val p = tabs("participant")
+    // " sex " header is trimmed by the downstream hygiene pass
+    assert(p.columns.contains("sex"))
+    val rows = p.select(col("participant_id"), coalesce(col("sex"), lit("∅")),
+        col("age_days"), coalesce(col("enrolled"), lit("∅")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(rows == Set(
+      ("P001", "F", "4015", "True"),
+      ("P002", "∅", "365", "False"),
+      ("P003", "M", "730", "∅")))
+  }
+}
