@@ -63,9 +63,11 @@ final case class Transformation(
 object TransformationSpec {
   private val mapper = new ObjectMapper()
 
-  def fromFile(path: String): Seq[Transformation] =
-    fromJson(new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
+  /** Accepts a local path, `file://`, `hdfs://`/`s3a://`, or an http(s)
+    * URL (S8 remote transformation fetch — [[graft.sources.FileFetcher]]).
+    */
+  def fromFile(location: String): Seq[Transformation] =
+    fromJson(graft.sources.FileFetcher.fetchString(location))
 
   def fromJson(json: String): Seq[Transformation] = {
     val root = mapper.readTree(json)

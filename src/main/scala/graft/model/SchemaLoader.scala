@@ -12,9 +12,11 @@ import scala.jdk.CollectionConverters._
 object SchemaLoader {
   private val mapper = new ObjectMapper()
 
-  def fromFile(path: String): C3dcSchema =
-    fromJson(new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
+  /** Accepts a local path, `file://`, `hdfs://`/`s3a://`, or an http(s)
+    * URL (S8 remote schema fetch — [[graft.sources.FileFetcher]]).
+    */
+  def fromFile(location: String): C3dcSchema =
+    fromJson(graft.sources.FileFetcher.fetchString(location))
 
   def fromJson(json: String): C3dcSchema = {
     val root = mapper.readTree(json)
