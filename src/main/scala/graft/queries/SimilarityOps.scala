@@ -182,6 +182,68 @@ object SimilarityOps {
              ORDER BY cosine DESC, vec_id) AS rank FROM scored)
         WHERE rank <= $K"""
 
+  /** One unrolled Lloyd iteration as oracle CTEs: assignment = argmin of
+    * the integer reduced score |c|²−2·q·c with lowest-index tie-break
+    * (exactly [[graft.functions.KMeansQuantizer.assignCell]] — the
+    * integer dots are ≤2^30, so DuckDB's double `list_dot_product` is
+    * exact); update = per-(cell,dim) `floor(sum/count + 0.5)` (Java
+    * `Math.round`, the trainer's rounding), with empty cells carrying the
+    * previous centroid forward. Three fixed iterations need no recursion —
+    * just three chained copies.
+    */
+  private def lloydCtes(i: Int): String = {
+    val prev = s"c${i - 1}"
+    s"""a$i AS (SELECT vec_id, q, cell FROM (
+          SELECT s.vec_id, s.q, c.cent_id AS cell,
+            row_number() OVER (PARTITION BY s.vec_id ORDER BY
+              list_dot_product(c.cq, c.cq) - 2*list_dot_product(s.q, c.cq) ASC, c.cent_id) AS rn
+          FROM sample s, $prev c) WHERE rn = 1),
+        c$i AS (
+          SELECT cent_id, list(val ORDER BY dim) AS cq FROM (
+            SELECT cell AS cent_id, dim,
+              CAST(floor(sum(v)::DOUBLE / count(*)::DOUBLE + 0.5) AS BIGINT) AS val
+            FROM (SELECT cell, unnest(q) AS v, unnest(range(1, len(q)+1)) AS dim FROM a$i)
+            GROUP BY cell, dim) GROUP BY cent_id
+          UNION ALL
+          SELECT p.cent_id, p.cq FROM $prev p
+          WHERE p.cent_id NOT IN (SELECT DISTINCT cell FROM a$i))"""
+  }
+
+  /** sim5's oracle: k-means training unrolled (init = the 8 lowest-id
+    * sample vectors, 3 Lloyd stages), then the sim3-shaped
+    * assign/probe/score over the TRAINED centroids.
+    */
+  private val Sim5Sql =
+    s"""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> round(x::DOUBLE*1000)::BIGINT) AS q
+          FROM embeddings),
+        n AS (SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS nrm FROM e),
+        sample AS (SELECT vec_id, q FROM e
+          WHERE NOT ($QuerySetSql) AND vec_id % 10 = 0),
+        c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, q AS cq
+               FROM (SELECT vec_id, q FROM sample ORDER BY vec_id LIMIT 8)),
+        ${lloydCtes(1)},
+        ${lloydCtes(2)},
+        ${lloydCtes(3)},
+        cents AS (SELECT cent_id, cq, sqrt(list_dot_product(cq, cq)) AS cn FROM c3),
+        cell AS (SELECT vec_id, q, nrm, cent_id, crank FROM
+          (SELECT n.vec_id, n.q, n.nrm, cents.cent_id,
+             row_number() OVER (PARTITION BY n.vec_id ORDER BY
+               list_dot_product(n.q, cents.cq) / (n.nrm * cents.cn) DESC,
+               cents.cent_id) AS crank
+           FROM n, cents)),
+        assigned AS (SELECT cent_id, vec_id, q, nrm FROM cell
+          WHERE crank = 1 AND NOT ($QuerySetSql)),
+        probes AS (SELECT cent_id, vec_id AS query_id, q AS qq, nrm AS qn
+          FROM cell WHERE crank <= $NProbe AND $QuerySetSql),
+        scored AS (SELECT DISTINCT query_id, a.vec_id,
+          list_dot_product(qq, a.q) / (qn * a.nrm) AS cosine
+          FROM assigned a JOIN probes USING (cent_id))
+        SELECT query_id, vec_id, cosine, rank FROM
+          (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, vec_id) AS rank FROM scored)
+        WHERE rank <= $K"""
+
   def qs: Seq[Q] = Seq(
     Q(
       "sim1_brute_topk",
@@ -207,10 +269,10 @@ object SimilarityOps {
         // the PRODUCTION IVF composition: train the coarse quantizer with
         // distributed k-means (KMeansQuantizer — deterministic integer
         // Lloyd), assign the corpus, probe each query's nearest cells,
-        // exact cosine inside probed cells only. Training is iterative →
-        // not SQL-expressible, so this entry records the driver's
-        // rows-only check; the in-cell scoring exactness is oracle-proved
-        // by sim3 and training determinism by KMeansQuantizerSpec.
+        // exact cosine inside probed cells only. The 3 fixed Lloyd
+        // iterations unroll into the oracle as chained CTE stages
+        // (Sim5Sql), so training determinism is hash-checked end to end,
+        // not just spec-asserted.
         val e = t(s, dir, "embeddings")
           .select(col("vec_id"), quantizeN(col("embedding")).as("q"))
           .withColumn("nrm", sqrt(dotQN(col("q"), col("q")).cast("double")))
@@ -252,7 +314,7 @@ object SimilarityOps {
         scored.withColumn("rank", row_number().over(w))
           .filter(col("rank") <= K)
       },
-      None, // iterative training is not SQL-expressible → rows-only check
+      Some(Sim5Sql),
       doc = "ANN production path: k-means-trained IVF (train + assign + probe)"),
 
     Q(
