@@ -172,14 +172,18 @@ object EtlGraphOps {
             .as("segment"),
           (col("c_custkey") % 120).cast("long").as("age"),
           when(col("c_custkey") % 9 === 0, typedlit(Seq("x", "x")))
-            .otherwise(typedlit(Seq("x", "y"))).as("tags"))
+            .otherwise(typedlit(Seq("x", "y"))).as("tags"),
+          // a column the schema does not declare: additionalProperties is
+          // false, so every record carrying the key is a violation
+          concat(lit("L"), (col("c_custkey") % 3).cast("string")).as("legacy_flag"))
         OutputValidator.validateNode(schema, "profile", dirty)
       },
       Some("""WITH dirty AS (SELECT
                 CASE WHEN c_custkey % 10 = 0 THEN '' ELSE c_custkey::VARCHAR END AS profile_id,
                 CASE WHEN c_custkey % 7 = 0 THEN 'UNLISTED' ELSE c_mktsegment END AS segment,
                 c_custkey % 120 AS age,
-                CASE WHEN c_custkey % 9 = 0 THEN ['x','x'] ELSE ['x','y'] END AS tags
+                CASE WHEN c_custkey % 9 = 0 THEN ['x','x'] ELSE ['x','y'] END AS tags,
+                'L' || (c_custkey % 3)::VARCHAR AS legacy_flag
               FROM customer)
               SELECT 'profile' AS node, profile_id AS record_id, 'profile_id' AS property,
                      'required property blank' AS violation, profile_id AS value
@@ -192,7 +196,10 @@ object EtlGraphOps {
               FROM dirty WHERE age > 100
               UNION ALL
               SELECT 'profile', profile_id, 'tags', 'array items not unique', to_json(tags)::VARCHAR
-              FROM dirty WHERE tags = ['x','x']"""),
+              FROM dirty WHERE tags = ['x','x']
+              UNION ALL
+              SELECT 'profile', profile_id, 'legacy_flag', 'property not permitted by schema', legacy_flag
+              FROM dirty"""),
       doc = "C2: schema enforcement as a distributed violations frame")
   )
 }

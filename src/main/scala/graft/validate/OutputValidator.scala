@@ -16,17 +16,26 @@ import graft.model.{C3dcSchema, NodeSpec, PropType}
   */
 object OutputValidator {
 
+  /** Columns a builder may legitimately carry past the schema surface
+    * (provenance/audit) — never flagged as unknown properties.
+    */
+  private val Passthrough =
+    Set(graft.sources.SourceReader.FileCol, graft.sources.SourceReader.AuditCol)
+
   def validateNode(schema: C3dcSchema, node: String, df: DataFrame): DataFrame = {
     val spec = schema.node(node)
     val id = col("`" + spec.idProperty + "`").cast("string")
 
-    val checks: Seq[(String, Column, Column)] = spec.props
+    def render(name: String): Column = df.schema(name).dataType match {
+      case _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.StructType |
+           _: org.apache.spark.sql.types.MapType => to_json(col("`" + name + "`"))
+      case _ => col("`" + name + "`").cast("string")
+    }
+
+    val known: Seq[(String, Column, Column)] = spec.props
       .filter(p => df.columns.contains(p.name)).flatMap { p =>
         val c = col("`" + p.name + "`")
-        val asStr = p.typ match {
-          case PropType.ArrStr => to_json(c)
-          case _               => c.cast("string")
-        }
         val required: Seq[(String, Column, Column)] =
           if (!p.required) Nil
           else Seq((p.name, requiredViolation(p, c), lit("required property blank")))
@@ -49,21 +58,23 @@ object OutputValidator {
             lit("array items not unique")))
           case _ => Nil
         }
-        (required ++ enum ++ bounds ++ unique).map { case (n, pred, msg) =>
-          (n, pred, msg)
-        }
+        required ++ enum ++ bounds ++ unique
       }
 
-    val violationStructs = checks.map { case (propName, pred, msg) =>
+    // additionalProperties: false (schema/schema_creator.py:349) — the
+    // reference's whole-document validate rejects any key the node spec
+    // does not declare, so a column outside the spec flags every record
+    val unknown: Seq[(String, Column, Column)] = df.columns.toSeq
+      .filterNot(c => spec.props.exists(_.name == c) || Passthrough.contains(c))
+      .map(c => (c, lit(true), lit("property not permitted by schema")))
+
+    val violationStructs = (known ++ unknown).map { case (propName, pred, msg) =>
       when(pred, struct(
         lit(node).as("node"),
         id.as("record_id"),
         lit(propName).as("property"),
         msg.as("violation"),
-        (spec.byName(propName).typ match {
-          case PropType.ArrStr => to_json(col("`" + propName + "`"))
-          case _               => col("`" + propName + "`").cast("string")
-        }).as("value")))
+        render(propName).as("value")))
     }
     if (violationStructs.isEmpty)
       return df.sparkSession.emptyDataFrame
@@ -79,11 +90,37 @@ object OutputValidator {
     case _            => c.isNull
   }
 
-  /** All nodes' violations unioned (driver assertion point). */
+  /** Container-shape checks on the harmonized document: a node container
+    * the schema does not define, or a container missing its identifier
+    * column, is a document-level violation (the reference's root schema
+    * rejects both — unknown top-level keys via additionalProperties,
+    * malformed containers via the per-node `required`). Driver-side
+    * metadata facts (one row per bad CONTAINER, not per record), so the
+    * frame is built locally and unions into the distributed violations.
+    */
+  def validateContainers(schema: C3dcSchema, nodes: Map[String, DataFrame]): DataFrame = {
+    require(nodes.nonEmpty, "no nodes to validate")
+    val spark = nodes.head._2.sparkSession
+    val rows = nodes.toSeq.sortBy(_._1).flatMap { case (n, df) =>
+      if (!schema.nodes.contains(n))
+        Seq((n, null: String, null: String, "node container not defined by schema", null: String))
+      else if (!df.columns.contains(schema.node(n).idProperty))
+        Seq((n, null: String, schema.node(n).idProperty,
+          "container missing identifier property", null: String))
+      else Nil
+    }
+    import spark.implicits._
+    rows.toDF("node", "record_id", "property", "violation", "value")
+  }
+
+  /** All nodes' violations unioned with the container-shape checks (the
+    * driver assertion point; unknown containers surface here too instead
+    * of being silently skipped).
+    */
   def validateAll(schema: C3dcSchema, nodes: Map[String, DataFrame]): DataFrame =
-    nodes.collect { case (n, df) if schema.nodes.contains(n) =>
+    (nodes.collect { case (n, df) if schema.nodes.contains(n) =>
       validateNode(schema, n, df)
-    }.filter(_.columns.nonEmpty)
+    }.filter(_.columns.nonEmpty).toSeq :+ validateContainers(schema, nodes))
       .reduceOption((a, b) => a.unionByName(b))
       .getOrElse(throw new IllegalArgumentException("no nodes to validate"))
 }

@@ -77,4 +77,38 @@ class OutputValidatorSpec extends SparkTestBase {
   test("null scalar values are absent, not violations (warn-don't-fail)") {
     assert(violations(Seq(("P1", null, null, Seq("x")))).isEmpty)
   }
+
+  test("unknown property: undeclared column flags every record (additionalProperties false)") {
+    val v = OutputValidator.validateNode(schema, "profile",
+      Seq(("P1", "stale"), ("P2", "stale")).toDF("profile_id", "mystery"))
+      .select("record_id", "property", "violation")
+      .as[(String, String, String)].collect().toSet
+    assert(v == Set(
+      ("P1", "mystery", "property not permitted by schema"),
+      ("P2", "mystery", "property not permitted by schema")))
+    // provenance/audit passthrough columns are exempt
+    val clean = OutputValidator.validateNode(schema, "profile",
+      Seq(("P1", "f.csv")).toDF("profile_id", graft.sources.SourceReader.FileCol))
+    assert(clean.count() == 0)
+  }
+
+  test("container shape: unknown node container and missing id column flag") {
+    val good = Seq(Tuple1("P1")).toDF("profile_id")
+    val headless = Seq(Tuple1("x")).toDF("segment")
+    val v = OutputValidator.validateContainers(schema,
+      Map("profile" -> good, "mystery_node" -> good, "broken" -> headless))
+      .select("node", "property", "violation")
+      .as[(String, String, String)].collect().toSet
+    assert(v == Set(
+      ("mystery_node", null, "node container not defined by schema"),
+      ("broken", null, "node container not defined by schema")))
+    val v2 = OutputValidator.validateContainers(schema, Map("profile" -> headless))
+      .select("node", "property", "violation")
+      .as[(String, String, String)].collect().toSet
+    assert(v2 == Set(("profile", "profile_id", "container missing identifier property")))
+    // validateAll surfaces container violations alongside record ones
+    val all = OutputValidator.validateAll(schema,
+      Map("profile" -> good, "mystery_node" -> good))
+    assert(all.filter($"violation" === "node container not defined by schema").count() == 1)
+  }
 }
