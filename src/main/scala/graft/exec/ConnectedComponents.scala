@@ -8,20 +8,20 @@ import org.apache.spark.sql.functions._
   * into duplicate GROUPS with one canonical representative (min id) per
   * group, so a training-data pipeline can keep exactly one member.
   *
-  * Algorithm: iterative min-label propagation. Each round every node takes
-  * the min of its own label and its neighbors' labels; convergence after
-  * O(component diameter) rounds. Near-dup components are overwhelmingly
-  * tiny (pairs/triples — dedup thresholds are high), so the loop
-  * terminates in 2–4 rounds regardless of corpus size; each round is one
-  * shuffle-join + one aggregation, both partitioned by node id. At
-  * 100 TB-scale graphs with long chains the same driver loop would host
-  * the large-star/small-star variant (alternate rounds contracting to the
-  * component min), which converges in O(log n) rounds; the min-label
-  * round below IS small-star, so only the alternation would be added.
-  *
-  * Every round materializes via `localCheckpoint` — the lineage would
-  * otherwise double per iteration and the convergence check would re-run
-  * the whole history.
+  * Two distributed algorithms, both shuffle-per-round with
+  * `localCheckpoint` barriers (the lineage would otherwise double per
+  * iteration):
+  *  - [[starContraction]] (the default): alternating large-star /
+  *    small-star rounds (Kiveris et al., "Connected Components in
+  *    MapReduce and Beyond") — O(log n) rounds on ANY topology, so a
+  *    100 TB graph with long chains converges in tens of rounds, not
+  *    diameter rounds. Each half-round is one per-node min + one join —
+  *    the same shuffle profile as a label round.
+  *  - [[minLabelPropagation]]: min-label flooding, O(diameter) rounds.
+  *    Near-dup components are overwhelmingly tiny (pairs/triples), so on
+  *    dedup graphs it converges in 2–4 rounds; kept as the
+  *    low-constant-factor option and as an independent implementation the
+  *    spec cross-checks star contraction against.
   */
 object ConnectedComponents {
 
@@ -29,9 +29,10 @@ object ConnectedComponents {
     * clustering: a small edge set (it is known exactly after candidate
     * generation) is solved with driver-side union-find in one collect,
     * skipping the per-round shuffle+checkpoint cost entirely; a large one
-    * runs the distributed [[minLabelPropagation]] loop. Near-dup graphs at
+    * runs the distributed [[starContraction]]. Near-dup graphs at
     * high thresholds are edge-sparse, so the local path is the common case
-    * even on huge corpora — the loop is the safety net, not the default.
+    * even on huge corpora — the star loop is the safety net, not the
+    * default.
     *
     * @param edges undirected edge frame (one row per pair, either order)
     * @return frame (id, label): label = min node id in the component
@@ -42,7 +43,7 @@ object ConnectedComponents {
     val fwd = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .localCheckpoint(false)
-    if (fwd.count() > localThreshold) minLabelPropagation(fwd, "src", "dst")
+    if (fwd.count() > localThreshold) starContraction(fwd, "src", "dst")
     else {
       // union-find with path halving; roots then remapped to component min
       val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -72,7 +73,87 @@ object ConnectedComponents {
     }
   }
 
-  /** Distributed path of [[components]] (also directly spec-tested).
+  /** Alternating large-star / small-star contraction — the O(log n)-round
+    * distributed path of [[components]].
+    *
+    * Edges are kept CANONICAL (u > v) throughout. One round is:
+    *  - large-star: per node u over BOTH edge directions, m = min of u and
+    *    its neighborhood; every neighbor v > u re-attaches as (v, m).
+    *    High-degree hubs thus shed their larger neighbors onto the local
+    *    min in one shuffle — this is the step that collapses chains
+    *    logarithmically.
+    *  - small-star: per node u over canonical (smaller) neighbors,
+    *    m = min neighbor; u and its other smaller neighbors re-attach to
+    *    m. At the fixed point every component is a star centered on its
+    *    min id.
+    * Convergence: star sets are exactly the fixed points of
+    * small∘large, detected by a cheap per-round checksum
+    * (count + endpoint sums + a product hash) CONFIRMED by an exact
+    * symmetric-difference check before exiting — the checksum alone only
+    * gates when the expensive exact comparison runs, so a collision can
+    * delay nothing and break nothing.
+    *
+    * @param edges undirected edge frame (one row per pair, either order)
+    * @return frame (id, label): label = min node id in the component
+    */
+  def starContraction(
+      edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 30): DataFrame = {
+    val fwd = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    var e = fwd
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint(false)
+
+    def checksum(df: DataFrame): (Long, Long, Long, Long) = {
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(sum(col("u")), lit(0L)),
+        coalesce(sum(col("v")), lit(0L)),
+        coalesce(sum((col("u") % 1000003L) * (col("v") % 1000033L)), lit(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+
+    var prevSum = checksum(e)
+    var converged = prevSum._1 == 0L
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star over both directions: m(u) = min(u, min neighbor)
+      val bidir = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = bidir.groupBy(col("u"))
+        .agg(least(col("u"), min(col("v"))).as("m"))
+      val large = bidir.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint(false) // two consumers below (groupBy + join)
+      // small-star on canonical edges: m(u) = min smaller-neighbor
+      val mins2 = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = large.join(mins2, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins2.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(false)
+      val s = checksum(next)
+      // checksum equality only UNLOCKS the exact set comparison; the
+      // except pass runs once per convergence, not once per round
+      converged = s == prevSum &&
+        next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      prevSum = s
+      e = next
+      iter += 1
+    }
+    // fixed point = disjoint stars: u→center on the u side, the centers
+    // label themselves on the v side
+    e.select(col("u").as("id"), col("v").as("label"))
+      .union(e.select(col("v").as("id"), col("v").as("label")))
+      .groupBy(col("id")).agg(min(col("label")).as("label"))
+  }
+
+  /** Min-label flooding, O(diameter) rounds (also directly spec-tested —
+    * it cross-checks [[starContraction]] on randomized graphs).
     *
     * @param edges undirected edge frame (one row per pair, either order)
     * @return frame (id, label): label = min node id in the component

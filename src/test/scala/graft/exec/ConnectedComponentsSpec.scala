@@ -43,4 +43,49 @@ class ConnectedComponentsSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(2L -> 2L, 5L -> 2L, 9L -> 2L))
   }
+
+  test("star contraction matches min-label propagation on canonical shapes") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L),
+      (31L, 32L), (30L, 31L)).toDF("a", "b")
+    val star = ConnectedComponents.starContraction(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val label = ConnectedComponents.minLabelPropagation(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(star == label)
+  }
+
+  test("star contraction converges logarithmically on a long chain") {
+    // a 64-node chain has diameter 63: min-label needs ~63 rounds, star
+    // contraction must finish well inside its default 30-round budget
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = ConnectedComponents.starContraction(chain, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 64 && got.values.forall(_ == 0L))
+  }
+
+  test("randomized graphs: star contraction equals union-find (3 seeds)") {
+    for (seed <- Seq(7, 23, 99)) {
+      val rnd = new scala.util.Random(seed)
+      // ~80 nodes, mixed sparse/dense: pairs, chains, and random extras
+      val edges = Seq.fill(60)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+        .filter { case (a, b) => a != b }
+      val df = edges.toDF("a", "b")
+      val star = ConnectedComponents.starContraction(df, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      // components() with a huge threshold = the driver union-find path
+      val uf = ConnectedComponents.components(df, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(star == uf, s"seed $seed: star=$star uf=$uf")
+    }
+  }
+
+  test("adaptive distributed path (threshold 0) is star contraction and correct") {
+    val edges = Seq((4L, 3L), (3L, 2L), (2L, 1L), (9L, 8L)).toDF("a", "b")
+    val got = ConnectedComponents.components(edges, "a", "b", localThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 8L -> 8L, 9L -> 8L))
+  }
 }
