@@ -66,6 +66,18 @@ case class ContentFingerprint(child: Expression) extends NativeTextExpression {
   override def prettyName: String = "graft_content_fingerprint"
 }
 
+/** Marker-argmax language id (see `TextFunctions.detectedLangHof`). */
+case class LangId(child: Expression) extends NativeTextExpression {
+  override def dataType: DataType = StringType
+  override protected def kernelCall(c: String): String =
+    s"graft.expressions.TextKernels.langId($c)"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.langId(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): LangId =
+    copy(child = newChild)
+  override def prettyName: String = "graft_lang_id"
+}
+
 /** n-gram shingle strings with multiplicity (see `TextFunctions.shingles`);
   * n is a plan-time constant baked into the generated code (3 = MinHash
   * family default, 8 = span-level dedup).

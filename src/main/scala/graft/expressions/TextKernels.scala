@@ -133,6 +133,50 @@ object TextKernels {
     UTF8String.fromBytes(hex)
   }
 
+  // marker token → indexes of the languages listing it (markers overlap:
+  // "de" is a Spanish AND a Chinese-pinyin marker), built once from the
+  // single table in TextFunctions
+  private lazy val markerLangs: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    graft.functions.TextFunctions.LangMarkers.zipWithIndex.foreach {
+      case ((_, markers), i) =>
+        markers.foreach { t =>
+          val prev = m.getOrDefault(t, Array.empty[Int])
+          m.put(t, prev :+ i)
+        }
+    }
+    m
+  }
+  private lazy val langCodes: Array[UTF8String] =
+    graft.functions.TextFunctions.LangMarkers
+      .map { case (c, _) => UTF8String.fromString(c) }.toArray
+
+  /** Marker-argmax language id in ONE pass over the lowercased token
+    * stream (mirrors `TextFunctions.detectedLangHof`, which walks the
+    * token array once per language through interpreted filter lambdas):
+    * winner = max marker hits, ties to the earliest language in the table.
+    */
+  def langId(text: UTF8String): UTF8String = {
+    val toks = text.toLowerCase.toString.split("\\s+")
+    val counts = new Array[Int](langCodes.length)
+    var i = 0
+    while (i < toks.length) {
+      val langs = markerLangs.get(toks(i))
+      if (langs != null) {
+        var j = 0
+        while (j < langs.length) { counts(langs(j)) += 1; j += 1 }
+      }
+      i += 1
+    }
+    var best = 0
+    var b = 1
+    while (b < counts.length) {
+      if (counts(b) > counts(best)) best = b
+      b += 1
+    }
+    langCodes(best)
+  }
+
   /** Word-n-gram strings with multiplicity (space-joined), document order;
     * fewer than n tokens → empty. Mirrors `TextFunctions.shingles` for any
     * n (3 for the MinHash family, 8 for span-level dedup).

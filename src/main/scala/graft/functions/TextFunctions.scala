@@ -81,4 +81,33 @@ object TextFunctions {
     size(filter(
       split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
       t => trim(t) =!= lit("")))
+
+  /** Tiny per-language marker lexicons (stopword heuristic) for language
+    * ID. On synthetic corpora the interesting part is the *mechanism*:
+    * per-language marker hit counts → argmax with deterministic tie-break
+    * (count desc, list order).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("de", "shi", "le", "bu", "wo"))
+
+  /** Marker-argmax language id as a pure column expression — the
+    * executable SPEC for the native `graft_lang_id` kernel
+    * ([[graft.expressions.TextKernels.langId]]), which computes the same
+    * argmax in one token pass instead of one interpreted filter per
+    * language.
+    */
+  def detectedLangHof(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val ranked = LangMarkers.zipWithIndex.map { case ((code, markers), i) =>
+      struct(
+        size(filter(toks, x => x.isin(markers.map(lit(_)): _*))).as("hits"),
+        lit(LangMarkers.length - i).as("prio"),
+        lit(code).as("code"))
+    }
+    array_max(array(ranked: _*)).getField("code")
+  }
 }

@@ -20,31 +20,13 @@ object TextOps {
     */
   private val BpeTokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
-  /** Tiny per-language marker lexicons (stopword heuristic). On synthetic
-    * corpora the interesting part is the *mechanism*: per-language marker
-    * hit counts → argmax with deterministic tie-break (count desc, code
-    * asc).
-    */
-  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "of", "and", "is"),
-    "es" -> Seq("el", "la", "de", "que", "y"),
-    "de" -> Seq("der", "die", "das", "und", "ist"),
-    "fr" -> Seq("le", "la", "les", "et", "est"),
-    "zh" -> Seq("de", "shi", "le", "bu", "wo"))
-
   /** Marker-argmax language id over a text column (t3's core expression,
-    * reused by the corpus-filter composition tp1).
+    * reused by the corpus-filter composition tp1) — the native one-pass
+    * kernel; `TextFunctions.detectedLangHof` is the column-form spec and
+    * the oracle recomputes the same argmax (`DetectedLangSql`).
     */
-  private[queries] def detectedLang(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val toks = tokens(lower(text))
-    val ranked = LangMarkers.zipWithIndex.map { case ((code, markers), i) =>
-      struct(
-        size(filter(toks, x => x.isin(markers.map(lit(_)): _*))).as("hits"),
-        lit(LangMarkers.length - i).as("prio"),
-        lit(code).as("code"))
-    }
-    array_max(array(ranked: _*)).getField("code")
-  }
+  private[queries] def detectedLang(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    call_function("graft_lang_id", text)
 
   /** The t3 oracle's ranked-struct list literal (shared with tp1's oracle). */
   private[queries] val DetectedLangSql: String =

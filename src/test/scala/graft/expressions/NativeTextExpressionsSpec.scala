@@ -99,6 +99,37 @@ class NativeTextExpressionsSpec extends SparkTestBase {
     assert(sgGot == sgSpec)
   }
 
+  test("graft_lang_id matches the HOF detectedLang spec incl. marker overlap ties") {
+    // "de" is both a Spanish and a pinyin marker; "la" Spanish and French —
+    // overlap + tie cases must break to the earliest language in the table
+    val tricky = docs.union(Seq(
+      "de de la la",            // es 4 hits? es: de,la -> 4; fr: la -> 2; zh: de -> 2
+      "le le de de",            // fr 2, es 2, zh 4 -> zh
+      "der die das und ist",    // de sweep
+      "el y que",               // es
+      "nothing matches here at all").toDF("text"))
+    val spec = tricky.select(graft.functions.TextFunctions.detectedLangHof(col("text")))
+      .as[String].collect()
+    val got = tricky.select(call_function("graft_lang_id", col("text")))
+      .as[String].collect()
+    assert(got.toSeq == spec.toSeq)
+  }
+
+  test("randomized parity: lang-id agrees native-vs-HOF on 300 marker soups") {
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("the", "a", "of", "el", "la", "de", "que", "der", "die",
+      "le", "les", "shi", "bu", "wo", "und", "est", "y", "is", "zz", "Qq")
+    val texts = Seq.fill(300) {
+      val n = rnd.nextInt(12)
+      (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }.toDF("text").localCheckpoint(false)
+    val spec = texts.select(graft.functions.TextFunctions.detectedLangHof(col("text")))
+      .as[String].collect().toSeq
+    val got = texts.select(call_function("graft_lang_id", col("text")))
+      .as[String].collect().toSeq
+    assert(got == spec)
+  }
+
   test("null input yields null, not a crash") {
     val n = Seq[Option[String]](None, Some("a b c d")).toDF("text")
     val r = n.select(
