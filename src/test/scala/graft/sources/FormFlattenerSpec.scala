@@ -118,4 +118,51 @@ class FormFlattenerSpec extends SparkTestBase {
     assert(result.recordCounts(("ccdi1", "laboratory_test")) == 1)
     assert(result.violations == 0)
   }
+
+  test("CCDI-mode EtlRunner run over a REAL .xlsx workbook file") {
+    import graft.engine.EtlRunner
+    val dir = Files.createTempDirectory("graft_ccdi_xlsx")
+    def write(name: String, content: String): String = {
+      val p = dir.resolve(name); Files.writeString(p, content); p.toString
+    }
+    // identical study as the directory-mode test, but shipped as a real
+    // workbook — the path a reference user hits first
+    val xlsx = graft.TestXlsx.write(dir.resolve("study.xlsx"), Seq(
+      "patient" -> Seq(
+        Seq("patient_id", "seg"),
+        Seq("P1", "AUTOMOBILE"),
+        Seq("P2", "OTHER"),
+        Seq("", "ORPHAN")),
+      "visit" -> Seq(
+        Seq("visit_id", "points", "patient_ref"),
+        Seq("V1", "7", "P1"))))
+    val schemaPath = write("schema.json", """
+      {"$defs": {
+        "participant": {"type": "object", "required": ["participant_id"],
+          "properties": {
+            "participant_id": {"type": "string"},
+            "segment": {"type": "string", "enum": ["Auto", "Other"]}}},
+        "laboratory_test": {"type": "object", "required": ["laboratory_test_id"],
+          "properties": {
+            "laboratory_test_id": {"type": "string"},
+            "score": {"type": "integer"}}}
+      }}""")
+    val xformPath = write("transformations.json", """
+      {"name": "ccdi1", "uuid_seed": "s", "mappings": [
+        {"output_field": "participant.participant_id", "source_field": "patient.patient_id"},
+        {"output_field": "participant.segment", "source_field": "patient.seg",
+         "replacement_values": [
+           {"old_value": "AUTOMOBILE", "new_value": "Auto"},
+           {"old_value": "OTHER", "new_value": "Other"}]},
+        {"output_field": "laboratory_test.laboratory_test_id", "source_field": "visit.visit_id"},
+        {"output_field": "laboratory_test.score", "source_field": "visit.points"}
+      ]}""")
+    val out = dir.resolve("out").toString
+    val result = EtlRunner.run(spark, EtlRunner.Config(
+      schemaPath, xformPath, xlsx, rowKeyColumn = "unused",
+      outDir = out, sourceFormat = "workbook"))
+    assert(result.recordCounts(("ccdi1", "participant")) == 2)
+    assert(result.recordCounts(("ccdi1", "laboratory_test")) == 1)
+    assert(result.violations == 0)
+  }
 }
