@@ -42,6 +42,12 @@ object GraphLinker {
 
   /** Adds a child-id array to a parent frame from an arbitrary child frame
     * (e.g. consent_group.participant_ids, study.consent_group_ids).
+    *
+    * No broadcast hint on purpose: the rollup has parent-count ROWS but
+    * its array payload is child-count sized (a study's participant list is
+    * the whole corpus's ids) — shipping that through the driver is the
+    * anti-pattern. Both join sides are row-tiny, so the shuffle join is
+    * cheap, and AQE may still pick broadcast when the payload is small.
     */
   def rollupChildren(
       parent: DataFrame,
@@ -54,7 +60,7 @@ object GraphLinker {
       .groupBy(col("`" + childFkCol + "`").as("__pid"))
       .agg(sort_array(collect_list(col("`" + childIdCol + "`"))).as(outCol))
     parent
-      .join(broadcast(rollup), col("`" + parentIdCol + "`") === col("__pid"), "left")
+      .join(rollup, col("`" + parentIdCol + "`") === col("__pid"), "left")
       .drop("__pid")
       .withColumn(outCol, coalesce(col("`" + outCol + "`"), typedlit(Seq.empty[String])))
   }
