@@ -270,6 +270,45 @@ object JoinAggOps {
               WHERE event_type = 'purchase'
               AND NOT EXISTS (SELECT 1 FROM events s
                               WHERE s.user_id = e.user_id AND s.event_type = 'signup')"""),
-      doc = "A9: distinct-membership anti-join audit")
+      doc = "A9: distinct-membership anti-join audit"),
+
+    Q(
+      "j8_asof_join",
+      (s, dir) => {
+        // AS-OF (point-in-time) join: each purchase gets the latest click
+        // STRICTLY before it, per user — the feature-generation join every
+        // training pipeline needs (no leakage from same-instant or future
+        // events). Scale shape: NOT a range join (whose candidate set
+        // explodes as span × density) — one tagged union, one shuffle on
+        // user_id, and a running last() over the per-user time order.
+        // Ordering (ts, is_click, event_id) puts a purchase BEFORE any
+        // click at the same instant, so the preceding-rows frame excludes
+        // exactly the same rows DuckDB's `p.ts > c.ts` ASOF bound does.
+        import org.apache.spark.sql.expressions.Window
+        val tagged = t(s, dir, "events")
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+            (col("event_type") === "click").cast("int").as("is_click"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("is_click"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        tagged
+          .withColumn("click_ts",
+            last(when(col("is_click") === 1, col("ts")), ignoreNulls = true).over(w))
+          .withColumn("click_value",
+            last(when(col("is_click") === 1, col("value")), ignoreNulls = true).over(w))
+          .filter(col("is_click") === 0)
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts").as("purchase_ts"), col("click_ts"), col("click_value"))
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts, value FROM events
+                         WHERE event_type = 'purchase'),
+                   c AS (SELECT user_id, ts, value FROM events
+                         WHERE event_type = 'click')
+              SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+                     c.ts AS click_ts, c.value AS click_value
+              FROM p ASOF LEFT JOIN c
+                ON p.user_id = c.user_id AND p.ts > c.ts"""),
+      doc = "As-of join: latest-strictly-prior event per key via one partitioned window")
   )
 }

@@ -103,6 +103,15 @@ class PlanAssertionsSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("j8_asof_join: one shuffle, window-based — no range-join explosion") {
+    // the as-of must be a single hash exchange on user_id feeding a
+    // partitioned window, never a joined candidate set (range joins
+    // explode as span x density at 100 TB)
+    val p = plan("j8_asof_join")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("t7_freq_rank_quality: no single-partition exchange, no forced broadcast") {
     // the vocabulary rank must come from a RANGE-partitioned sort — an
     // `Exchange SinglePartition` here would be the 100 TB scale-killer
