@@ -309,6 +309,48 @@ object JoinAggOps {
                      c.ts AS click_ts, c.value AS click_value
               FROM p ASOF LEFT JOIN c
                 ON p.user_id = c.user_id AND p.ts > c.ts"""),
-      doc = "As-of join: latest-strictly-prior event per key via one partitioned window")
+      doc = "As-of join: latest-strictly-prior event per key via one partitioned window"),
+
+    Q(
+      "j9_range_bin_join",
+      (s, dir) => {
+        // RANGE join, bucketized: per purchase, aggregate the clicks in
+        // the preceding hour — UNKEYED, so the naive plan is a nested-loop
+        // over purchases × clicks (candidate set grows as span × density).
+        // Scale shape: bin the time axis at the window width; a click
+        // lands in one bin, a probe covers exactly two, so the range
+        // predicate rides a HASH join on bin and the per-bin candidate
+        // set is bounded by local density. Hot bins (flash traffic) are
+        // ordinary skew-join work for AQE. The decimal(18,2) aggregation
+        // keeps the sum engine-exact (no double partial-agg order issues).
+        val W = 3600L * 1000000L // window = bin width, epoch micros
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(floor(unix_micros(col("ts")).cast("double") / W).cast("long").as("bin"),
+            unix_micros(col("ts")).as("c_us"), col("value"))
+        val probes = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), unix_micros(col("ts")).as("p_us"))
+          .withColumn("bin", explode(array(
+            floor((col("p_us") - W).cast("double") / W).cast("long"),
+            floor(col("p_us").cast("double") / W).cast("long"))))
+        probes.join(clicks,
+            probes("bin") === clicks("bin") &&
+              col("c_us") >= col("p_us") - W && col("c_us") < col("p_us"),
+            "left")
+          .groupBy(col("purchase_id"))
+          .agg(
+            count(col("c_us")).as("n_prior_clicks"),
+            coalesce(sum(col("value").cast("decimal(18,2)")),
+              lit(0).cast("decimal(18,2)")).cast("double").as("click_sum"))
+      },
+      Some("""WITH p AS (SELECT event_id, ts FROM events WHERE event_type = 'purchase'),
+                   c AS (SELECT ts, value FROM events WHERE event_type = 'click')
+              SELECT p.event_id AS purchase_id,
+                     count(c.ts)::BIGINT AS n_prior_clicks,
+                     coalesce(sum(c.value::DECIMAL(18,2)), 0)::DOUBLE AS click_sum
+              FROM p LEFT JOIN c
+                ON c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+              GROUP BY p.event_id"""),
+      doc = "Range join: bounded-interval aggregate via time-bin bucketed hash join")
   )
 }

@@ -112,6 +112,15 @@ class PlanAssertionsSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("j9_range_bin_join: range predicate rides a hash join, never a nested loop") {
+    // the unkeyed interval join must join on the time BIN (equality →
+    // hash join); a BroadcastNestedLoopJoin here is the span×density
+    // explosion the binning exists to prevent
+    val p = plan("j9_range_bin_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("t7_freq_rank_quality: no single-partition exchange, no forced broadcast") {
     // the vocabulary rank must come from a RANGE-partitioned sort — an
     // `Exchange SinglePartition` here would be the 100 TB scale-killer
