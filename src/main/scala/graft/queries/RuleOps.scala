@@ -150,13 +150,17 @@ object RuleOps {
     Q(
       "k4_record_counts",
       (s, dir) => {
-        // K4: record-count report — one partial count per node frame,
-        // metadata-size output; at cluster scale each count is a map-side
-        // partial agg over its own scan, nothing co-shuffles.
+        // K4: record-count report — metadata-size output. The aggregate
+        // sits DIRECTLY on each scan (the node name is tagged above it),
+        // so column pruning empties the read schema (`ReadSchema:
+        // struct<>` — row counts come from batch metadata, no data pages
+        // decoded) and, on the DSv2 scan path, parquet aggregate pushdown
+        // could answer entirely from row-group footers.
         val names = Seq("region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings")
         names.map { n =>
-          t(s, dir, n).groupBy(lit(n).as("node")).agg(count(lit(1)).as("records"))
+          t(s, dir, n).agg(count(lit(1)).as("records"))
+            .select(lit(n).as("node"), col("records"))
         }.reduce(_.unionByName(_))
       },
       Some("""SELECT 'region' AS node, count(*) AS records FROM region
