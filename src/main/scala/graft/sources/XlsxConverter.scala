@@ -24,7 +24,13 @@ import scala.collection.mutable
   *     strings (`t="str"`), booleans (`t="b"` → `True`/`False`, openpyxl's
   *     Python bool rendering), and raw numeric/error text pass through;
   *   - sparse rows/cells (OOXML omits empty trailing cells and rows)
-  *     re-expand into a dense grid, so downstream header alignment works.
+  *     re-expand into a dense grid, so downstream header alignment works;
+  *   - date-STYLED numeric cells (builtin formats 14–22/45–47 or custom
+  *     codes with date tokens, resolved via styles.xml cellXfs) convert
+  *     from their Excel serial to the string openpyxl's datetime value
+  *     renders (date for midnight, `yyyy-MM-dd HH:mm:ss` otherwise),
+  *     1899-12-30 base absorbing the Lotus leap-bug exactly as openpyxl
+  *     does.
   *
   * The converter is DRIVER-side by design: study workbooks are MB-scale
   * ingest edges (the reference reads them whole into petl). The
@@ -40,11 +46,12 @@ object XlsxConverter {
     try {
       val rels = parseRels(zip)
       val shared = parseSharedStrings(zip)
+      val dateStyles = parseDateStyles(zip)
       parseSheetList(zip).map { case (name, rid) =>
         val target = rels.getOrElse(rid,
           throw new IllegalArgumentException(s"workbook sheet '$name' has unresolved relationship $rid"))
         val part = if (target.startsWith("/")) target.drop(1) else s"xl/$target"
-        name -> parseWorksheet(zip, part, shared)
+        name -> parseWorksheet(zip, part, shared, dateStyles)
       }
     } finally zip.close()
   }
@@ -134,13 +141,62 @@ object XlsxConverter {
       out.toIndexedSeq
     }
 
+  /** xl/styles.xml → the set of cellXfs style indexes whose number format
+    * renders as a date/time (the `s` attribute on a cell indexes into
+    * cellXfs). Builtin date formats are ids 14–22 and 45–47; a custom
+    * format counts when its code contains day/month/year/hour tokens
+    * outside [brackets] and "quoted" literals — the same classification
+    * openpyxl applies for its `is_date_format`.
+    */
+  private def parseDateStyles(zip: ZipFile): Set[Int] =
+    reader(zip, "xl/styles.xml").fold(Set.empty[Int]) { r =>
+      val customDate = mutable.Set[Int]()
+      val styleFmts = mutable.ArrayBuffer[Int]()
+      var inCellXfs = false
+      try while (r.hasNext) r.next() match {
+        case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+          case "numFmt" =>
+            val id = attr(r, "numFmtId").flatMap(_.toIntOption).getOrElse(-1)
+            val code = attr(r, "formatCode").getOrElse("")
+            val bare = code.replaceAll("\\[[^\\]]*\\]", "").replaceAll("\"[^\"]*\"", "")
+            if (bare.exists(c => "ymdhsYMDHS".indexOf(c) >= 0) && id >= 0) customDate += id
+          case "cellXfs" => inCellXfs = true
+          case "xf" if inCellXfs =>
+            styleFmts += attr(r, "numFmtId").flatMap(_.toIntOption).getOrElse(0)
+          case _ => ()
+        }
+        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "cellXfs" =>
+          inCellXfs = false
+        case _ => ()
+      } finally r.close()
+      def isDateFmt(id: Int): Boolean =
+        (id >= 14 && id <= 22) || (id >= 45 && id <= 47) || customDate.contains(id)
+      styleFmts.zipWithIndex.collect { case (fmt, i) if isDateFmt(fmt) => i }.toSet
+    }
+
+  /** Excel 1900-system serial → the string openpyxl's datetime/date value
+    * renders to: midnight-exact serials print as a date, otherwise a
+    * second-truncated datetime. Base 1899-12-30 absorbs the historical
+    * Lotus leap-year bug exactly like openpyxl.
+    */
+  private def serialToDate(raw: String): Option[String] =
+    raw.trim.toDoubleOption.map { serial =>
+      val base = java.time.LocalDateTime.of(1899, 12, 30, 0, 0)
+      val micros = Math.round(serial * 86400.0 * 1e6)
+      val dt = base.plusNanos(micros * 1000L)
+      if (dt.toLocalTime == java.time.LocalTime.MIDNIGHT) dt.toLocalDate.toString
+      else dt.toLocalDate.toString + " " +
+        dt.toLocalTime.format(java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss"))
+    }
+
   /** One worksheet part → dense row grid (sparse refs re-expanded, every
     * row padded to the sheet's max width).
     */
   private def parseWorksheet(
       zip: ZipFile,
       part: String,
-      shared: IndexedSeq[String]): Seq[Seq[String]] = {
+      shared: IndexedSeq[String],
+      dateStyles: Set[Int]): Seq[Seq[String]] = {
     val r = reader(zip, part).getOrElse(
       throw new IllegalArgumentException(s"workbook references missing worksheet part $part"))
     // (rowIdx, colIdx) -> value, collected sparsely then densified
@@ -150,6 +206,7 @@ object XlsxConverter {
     var rowIdx = -1
     var colIdx = -1
     var cellType = "n"
+    var cellStyle = -1
     var inV = false
     var inIsT = false
     var inF = false
@@ -159,6 +216,10 @@ object XlsxConverter {
       val v = cellType match {
         case "s" => raw.trim.toIntOption.flatMap(shared.lift).getOrElse("")
         case "b" => if (raw.trim == "1") "True" else "False"
+        case "n" if raw.nonEmpty && dateStyles.contains(cellStyle) =>
+          // date-styled numeric: render the serial the way openpyxl's
+          // datetime value stringifies (date for midnight, else datetime)
+          serialToDate(raw).getOrElse(raw)
         case _ => raw // "n" numeric, "str" formula string, "inlineStr", "e" error
       }
       if (v.nonEmpty) {
@@ -177,6 +238,7 @@ object XlsxConverter {
           // a missing ref means "next cell"; an explicit ref may skip columns
           colIdx = attr(r, "r").map(colOf).getOrElse(colIdx + 1)
           cellType = attr(r, "t").getOrElse("n")
+          cellStyle = attr(r, "s").flatMap(_.toIntOption).getOrElse(-1)
           text.setLength(0)
         case "v" => inV = true
         case "f" => inF = true // data_only: formula text is never a value

@@ -83,6 +83,61 @@ class XlsxConverterSpec extends SparkTestBase {
     f.toString
   }
 
+  /** Workbook with styles.xml: style 1 = builtin date (14), style 2 =
+    * custom date code, style 3 = plain decimal — only 1 and 2 convert.
+    */
+  private def buildDatedXlsx(dir: Path): String = {
+    val f = dir.resolve("dated.xlsx")
+    val z = new ZipOutputStream(Files.newOutputStream(f))
+    def part(name: String, body: String): Unit = {
+      z.putNextEntry(new ZipEntry(name))
+      z.write(body.getBytes("UTF-8"))
+      z.closeEntry()
+    }
+    part("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+    part("_rels/.rels",
+      """<?xml version="1.0"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+        |</Relationships>""".stripMargin)
+    part("xl/workbook.xml",
+      """<?xml version="1.0"?>
+        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        |          xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="visits" sheetId="1" r:id="rId1"/></sheets>
+        |</workbook>""".stripMargin)
+    part("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+        |</Relationships>""".stripMargin)
+    part("xl/styles.xml",
+      """<?xml version="1.0"?>
+        |<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<numFmts count="2">
+        |<numFmt numFmtId="164" formatCode="yyyy\-mm\-dd"/>
+        |<numFmt numFmtId="165" formatCode="0.00"/>
+        |</numFmts>
+        |<cellXfs count="4">
+        |<xf numFmtId="0"/>
+        |<xf numFmtId="14"/>
+        |<xf numFmtId="164"/>
+        |<xf numFmtId="165"/>
+        |</cellXfs>
+        |</styleSheet>""".stripMargin)
+    part("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>visit_date</t></is></c><c r="B1" t="inlineStr"><is><t>visit_dt</t></is></c><c r="C1" t="inlineStr"><is><t>score</t></is></c><c r="D1" t="inlineStr"><is><t>plain</t></is></c></row>
+        |<row r="2"><c r="A2" s="1"><v>45292</v></c><c r="B2" s="2"><v>45292.5</v></c><c r="C2" s="3"><v>45292</v></c><c r="D2"><v>45292</v></c></row>
+        |</sheetData>
+        |</worksheet>""".stripMargin)
+    z.close()
+    f.toString
+  }
+
   private def tmp(): Path = {
     val d = Files.createTempDirectory("xlsx")
     d.toFile.deleteOnExit()
@@ -97,6 +152,15 @@ class XlsxConverterSpec extends SparkTestBase {
     assert(part(1) == Seq("P001", "F", "4015", "True")) // rich-text run concat + bool
     assert(part(2) == Seq("P002", "", "365", "False")) // skipped B stays blank
     assert(part(3) == Seq("P003", "M", "730", "")) // cached 730; NEVER() blank
+  }
+
+  test("date-styled serials convert like openpyxl; other numerics stay raw") {
+    val grid = XlsxConverter.readWorkbook(buildDatedXlsx(tmp()))
+    val rows = grid.head._2
+    assert(rows(0) == Seq("visit_date", "visit_dt", "score", "plain"))
+    // builtin fmt 14 → date; custom y/m/d code → datetime for .5 serial;
+    // decimal fmt and unstyled stay raw serials
+    assert(rows(1) == Seq("2024-01-01", "2024-01-01 12:00:00", "45292", "45292"))
   }
 
   test("convert: emitted CSV round-trips commas, quotes, and blanks") {
