@@ -98,10 +98,13 @@ object ConnectedComponents {
     */
   def starContraction(
       edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 30): DataFrame = {
-    val fwd = edges
+    // raw keeps self-loops: they contribute NODES (self-labeled at the
+    // end) even though they contribute no contraction edges
+    val raw = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .localCheckpoint(false) // consumed by the loop seed AND the node set
+    var e = raw
       .filter(col("a") =!= col("b"))
-    var e = fwd
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .distinct()
       .localCheckpoint(false)
@@ -147,9 +150,17 @@ object ConnectedComponents {
     }
     // fixed point = disjoint stars: u→center on the u side, the centers
     // label themselves on the v side
-    e.select(col("u").as("id"), col("v").as("label"))
+    val stars = e.select(col("u").as("id"), col("v").as("label"))
       .union(e.select(col("v").as("id"), col("v").as("label")))
       .groupBy(col("id")).agg(min(col("label")).as("label"))
+    // nodes whose only edges were self-loops vanished with the a=b filter
+    // but are still nodes (the union-find and min-label paths keep them) —
+    // re-attach them self-labeled so all three implementations agree
+    val nodes = raw.select(col("a").as("id"))
+      .union(raw.select(col("b").as("id"))).distinct()
+    stars.unionByName(
+      nodes.join(stars, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("label")))
   }
 
   /** Min-label flooding, O(diameter) rounds (also directly spec-tested —

@@ -33,10 +33,17 @@ object DedupOps {
   private val sigCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
   private def materialized(s: SparkSession, dir: String, kind: String)(
-      build: => DataFrame): DataFrame =
+      build: => DataFrame): DataFrame = {
+    // soft bound: a long-lived app touching many dirs would otherwise pin
+    // checkpoint blocks forever. Clearing drops OUR strong refs — the
+    // ContextCleaner reclaims the blocks once consumers release theirs.
+    // (Assumes dir contents are immutable for the app's lifetime, which
+    // holds for the read-only sf dirs and any sane corpus pass.)
+    if (sigCache.size > 16) sigCache.clear()
     sigCache.computeIfAbsent(
       (s.sparkContext.applicationId, dir, kind),
       _ => build.localCheckpoint(false))
+  }
 
   /** Distinct word-3-gram shingle set per doc, HASHED to portable 60-bit
     * longs at shingling time (docs shorter than 3 tokens excluded — they

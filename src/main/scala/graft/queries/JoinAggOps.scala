@@ -284,6 +284,11 @@ object JoinAggOps {
         // Ordering (ts, is_click, event_id) puts a purchase BEFORE any
         // click at the same instant, so the preceding-rows frame excludes
         // exactly the same rows DuckDB's `p.ts > c.ts` ASOF bound does.
+        // Tie contract: two CLICKS at the same (user_id, ts) would break
+        // to the max event_id here while ASOF picks an arbitrary tied
+        // row — safe because (user_id, ts) is unique in the events table
+        // (micro-timestamps; asserted in PlanAssertionsSpec so a testdata
+        // change with collisions fails loudly).
         import org.apache.spark.sql.expressions.Window
         val tagged = t(s, dir, "events")
           .filter(col("event_type").isin("purchase", "click"))

@@ -86,9 +86,14 @@ object SourceReader {
     */
   def workbook(spark: SparkSession, path: String, audit: Boolean = true): Map[String, DataFrame] =
     if (path.toLowerCase.endsWith(".xlsx")) {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_xlsx_").toString
-      XlsxConverter.convert(path, tmp)
-      workbookDir(spark, tmp, audit)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_xlsx_")
+      // deleteOnExit removes in reverse registration order: dir
+      // registered FIRST so the emitted csvs go first and the dir last —
+      // repeated runner invocations must not accumulate scratch copies
+      tmp.toFile.deleteOnExit()
+      XlsxConverter.convert(path, tmp.toString)
+        .values.foreach(p => new java.io.File(p).deleteOnExit())
+      workbookDir(spark, tmp.toString, audit)
     } else workbookDir(spark, path, audit)
 
   /** S4: drop rows whose `{tab}_id` is blank (CCDI per-tab filter). */

@@ -122,16 +122,22 @@ object XlsxConverter {
   }
 
   /** xl/sharedStrings.xml: one string per `<si>`, concatenating every
-    * `<t>` run (rich-text cells split one logical string across runs).
+    * `<t>` run (rich-text cells split one logical string across runs) —
+    * EXCEPT runs inside `<rPh>`/`<phoneticPr>` (furigana annotations),
+    * which are not part of the cell string (openpyxl drops them too).
     */
   private def parseSharedStrings(zip: ZipFile): IndexedSeq[String] =
     reader(zip, "xl/sharedStrings.xml").fold(IndexedSeq.empty[String]) { r =>
       val out = mutable.ArrayBuffer[String]()
       val cur = new java.lang.StringBuilder()
       var inT = false
+      var inPhonetic = false
       try while (r.hasNext) r.next() match {
-        case XMLStreamConstants.START_ELEMENT if r.getLocalName == "si" => cur.setLength(0)
-        case XMLStreamConstants.START_ELEMENT if r.getLocalName == "t" => inT = true
+        case XMLStreamConstants.START_ELEMENT if r.getLocalName == "si" =>
+          cur.setLength(0); inPhonetic = false
+        case XMLStreamConstants.START_ELEMENT if r.getLocalName == "rPh" => inPhonetic = true
+        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "rPh" => inPhonetic = false
+        case XMLStreamConstants.START_ELEMENT if r.getLocalName == "t" => inT = !inPhonetic
         case XMLStreamConstants.END_ELEMENT if r.getLocalName == "t" => inT = false
         case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA if inT =>
           cur.append(r.getText)
@@ -174,19 +180,37 @@ object XlsxConverter {
       styleFmts.zipWithIndex.collect { case (fmt, i) if isDateFmt(fmt) => i }.toSet
     }
 
-  /** Excel 1900-system serial → the string openpyxl's datetime/date value
-    * renders to: midnight-exact serials print as a date, otherwise a
-    * second-truncated datetime. Base 1899-12-30 absorbs the historical
-    * Lotus leap-year bug exactly like openpyxl.
+  /** Excel 1900-system serial → the string openpyxl's value renders to
+    * (`str(from_excel(serial))`), matching its documented quirks:
+    *  - base 1899-12-30, with serials BELOW 60 shifted +1 day (serial 1 =
+    *    1900-01-01; serial 60, the phantom Lotus 1900-02-29, lands on
+    *    1900-02-28 unshifted);
+    *  - `0 <= serial < 1` is a bare time-of-day, not a datetime;
+    *  - sub-second precision rounds to MILLISECONDS (python renders a
+    *    nonzero fraction as 6-digit microseconds);
+    *  - midnight-exact datetimes print as a plain date.
+    * Negative serials don't occur in real date cells — left raw.
     */
   private def serialToDate(raw: String): Option[String] =
-    raw.trim.toDoubleOption.map { serial =>
-      val base = java.time.LocalDateTime.of(1899, 12, 30, 0, 0)
-      val micros = Math.round(serial * 86400.0 * 1e6)
-      val dt = base.plusNanos(micros * 1000L)
-      if (dt.toLocalTime == java.time.LocalTime.MIDNIGHT) dt.toLocalDate.toString
-      else dt.toLocalDate.toString + " " +
-        dt.toLocalTime.format(java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss"))
+    raw.trim.toDoubleOption.filter(_ >= 0).map { serial =>
+      // round the WHOLE serial to ms first so a fraction that rounds up to
+      // midnight carries into the day instead of overflowing LocalTime
+      val totalMs = Math.round(serial * 86400000.0)
+      val dayPart = totalMs / 86400000L
+      val msOfDay = totalMs % 86400000L
+      def timeStr(t: java.time.LocalTime): String = {
+        val base = t.format(java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss"))
+        if (t.getNano == 0) base else base + f".${t.getNano / 1000}%06d"
+      }
+      if (dayPart == 0L && serial < 1)
+        timeStr(java.time.LocalTime.ofNanoOfDay(msOfDay * 1000000L))
+      else {
+        val days = if (dayPart < 60) dayPart + 1 else dayPart
+        val dt = java.time.LocalDateTime.of(1899, 12, 30, 0, 0)
+          .plusDays(days).plusNanos(msOfDay * 1000000L)
+        if (dt.toLocalTime == java.time.LocalTime.MIDNIGHT) dt.toLocalDate.toString
+        else dt.toLocalDate.toString + " " + timeStr(dt.toLocalTime)
+      }
     }
 
   /** One worksheet part → dense row grid (sparse refs re-expanded, every
@@ -208,14 +232,17 @@ object XlsxConverter {
     var cellType = "n"
     var cellStyle = -1
     var inV = false
+    var inIs = false
     var inIsT = false
+    var inPhonetic = false
     var inF = false
     val text = new java.lang.StringBuilder()
     def flushCell(): Unit = if (colIdx >= 0) {
       val raw = text.toString
       val v = cellType match {
         case "s" => raw.trim.toIntOption.flatMap(shared.lift).getOrElse("")
-        case "b" => if (raw.trim == "1") "True" else "False"
+        case "b" if raw.nonEmpty => if (raw.trim == "1") "True" else "False"
+        case "b" => "" // boolean cell without a cached value is blank
         case "n" if raw.nonEmpty && dateStyles.contains(cellStyle) =>
           // date-styled numeric: render the serial the way openpyxl's
           // datetime value stringifies (date for midnight, else datetime)
@@ -242,8 +269,11 @@ object XlsxConverter {
           text.setLength(0)
         case "v" => inV = true
         case "f" => inF = true // data_only: formula text is never a value
-        case "is" => inIsT = false
-        case "t" if !inF => inIsT = true
+        case "is" => inIs = true; inIsT = false
+        case "rPh" => inPhonetic = true // furigana runs are not cell text
+        // only <t> runs INSIDE <is> (and outside phonetic annotations)
+        // are inline cell text
+        case "t" if inIs && !inF && !inPhonetic => inIsT = true
         case _ => ()
       }
       case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA if inV || inIsT =>
@@ -252,6 +282,8 @@ object XlsxConverter {
         case "v" => inV = false
         case "f" => inF = false
         case "t" => inIsT = false
+        case "is" => inIs = false
+        case "rPh" => inPhonetic = false
         case "c" => flushCell()
         case _ => ()
       }

@@ -18,6 +18,7 @@ object TestXlsx {
     }
     def esc(s: String): String = s
       .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
     part("[Content_Types].xml",
       """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
     part("_rels/.rels",

@@ -82,6 +82,20 @@ class ConnectedComponentsSpec extends SparkTestBase {
     }
   }
 
+  test("self-loop-only nodes survive star contraction like the other paths") {
+    // (7,7) contributes a NODE but no contraction edge — all three
+    // implementations must report it self-labeled
+    val edges = Seq((1L, 2L), (7L, 7L), (2L, 2L)).toDF("a", "b")
+    val star = ConnectedComponents.starContraction(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val uf = ConnectedComponents.components(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val label = ConnectedComponents.minLabelPropagation(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(star == Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
+    assert(star == uf && star == label)
+  }
+
   test("adaptive distributed path (threshold 0) is star contraction and correct") {
     val edges = Seq((4L, 3L), (3L, 2L), (2L, 1L), (9L, 8L)).toDF("a", "b")
     val got = ConnectedComponents.components(edges, "a", "b", localThreshold = 0L)

@@ -103,6 +103,21 @@ class PlanAssertionsSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("j8 tie precondition: (user_id, ts) is unique in the events table") {
+    // j8's Spark side breaks same-instant click ties by event_id; the
+    // DuckDB ASOF oracle picks an arbitrary tied row. The contract is
+    // sound only while (user_id, ts) is unique — assert it so a testdata
+    // regeneration with collisions fails loudly here, not as a flaky
+    // driver hash mismatch
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val ev = Tables.t(spark, d, "events")
+      val dups = ev.groupBy(org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.col("ts"))
+        .count().filter(org.apache.spark.sql.functions.col("count") > 1).count()
+      assert(dups == 0L, s"$d has $dups (user_id, ts) collisions")
+    }
+  }
+
   test("j8_asof_join: one shuffle, window-based — no range-join explosion") {
     // the as-of must be a single hash exchange on user_id feeding a
     // partitioned window, never a joined candidate set (range joins

@@ -52,12 +52,13 @@ class XlsxConverterSpec extends SparkTestBase {
         |<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
         |</Relationships>""".stripMargin)
     // entry 2 is a rich-text string split across runs — must concatenate
+    // the <r> runs but EXCLUDE the phonetic <rPh> annotation
     part("xl/sharedStrings.xml",
       """<?xml version="1.0"?>
         |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">
         |<si><t>participant_id</t></si>
         |<si><t xml:space="preserve"> sex </t></si>
-        |<si><r><t>P</t></r><r><t>001</t></r></si>
+        |<si><r><t>P</t></r><r><t>001</t></r><rPh sb="0" eb="1"><t>pii</t></rPh></si>
         |</sst>""".stripMargin)
     // row 3: sparse (A skipped via explicit C-column ref on the 2nd cell);
     // row 4: cached formula value (data_only) + unevaluated formula (blank)
@@ -130,8 +131,8 @@ class XlsxConverterSpec extends SparkTestBase {
       """<?xml version="1.0"?>
         |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
         |<sheetData>
-        |<row r="1"><c r="A1" t="inlineStr"><is><t>visit_date</t></is></c><c r="B1" t="inlineStr"><is><t>visit_dt</t></is></c><c r="C1" t="inlineStr"><is><t>score</t></is></c><c r="D1" t="inlineStr"><is><t>plain</t></is></c></row>
-        |<row r="2"><c r="A2" s="1"><v>45292</v></c><c r="B2" s="2"><v>45292.5</v></c><c r="C2" s="3"><v>45292</v></c><c r="D2"><v>45292</v></c></row>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>visit_date</t></is></c><c r="B1" t="inlineStr"><is><t>visit_dt</t></is></c><c r="C1" t="inlineStr"><is><t>score</t></is></c><c r="D1" t="inlineStr"><is><t>plain</t></is></c><c r="E1" t="inlineStr"><is><t>lotus</t></is></c><c r="F1" t="inlineStr"><is><t>tod</t></is></c><c r="G1" t="inlineStr"><is><t>phantom</t></is></c><c r="H1" t="inlineStr"><is><t>emptyb</t></is></c></row>
+        |<row r="2"><c r="A2" s="1"><v>45292</v></c><c r="B2" s="2"><v>45292.5</v></c><c r="C2" s="3"><v>45292</v></c><c r="D2"><v>45292</v></c><c r="E2" s="1"><v>1</v></c><c r="F2" s="1"><v>0.5</v></c><c r="G2" s="1"><v>60</v></c><c r="H2" t="b"/></row>
         |</sheetData>
         |</worksheet>""".stripMargin)
     z.close()
@@ -149,7 +150,7 @@ class XlsxConverterSpec extends SparkTestBase {
     assert(grid.map(_._1) == Seq("participant", "diagnosis"))
     val part = grid.head._2
     assert(part(0) == Seq("participant_id", " sex ", "age_days", "enrolled"))
-    assert(part(1) == Seq("P001", "F", "4015", "True")) // rich-text run concat + bool
+    assert(part(1) == Seq("P001", "F", "4015", "True")) // run concat, rPh dropped, bool
     assert(part(2) == Seq("P002", "", "365", "False")) // skipped B stays blank
     assert(part(3) == Seq("P003", "M", "730", "")) // cached 730; NEVER() blank
   }
@@ -157,10 +158,15 @@ class XlsxConverterSpec extends SparkTestBase {
   test("date-styled serials convert like openpyxl; other numerics stay raw") {
     val grid = XlsxConverter.readWorkbook(buildDatedXlsx(tmp()))
     val rows = grid.head._2
-    assert(rows(0) == Seq("visit_date", "visit_dt", "score", "plain"))
+    assert(rows(0) == Seq("visit_date", "visit_dt", "score", "plain",
+      "lotus", "tod", "phantom", "emptyb"))
     // builtin fmt 14 → date; custom y/m/d code → datetime for .5 serial;
-    // decimal fmt and unstyled stay raw serials
-    assert(rows(1) == Seq("2024-01-01", "2024-01-01 12:00:00", "45292", "45292"))
+    // decimal fmt and unstyled stay raw serials. openpyxl quirks: serial 1
+    // = 1900-01-01 (pre-60 +1-day shift), 0.5 = bare time-of-day, 60 (the
+    // phantom Lotus leap day) = 1900-02-28; a boolean cell without a
+    // cached value is blank
+    assert(rows(1) == Seq("2024-01-01", "2024-01-01 12:00:00", "45292", "45292",
+      "1900-01-01", "12:00:00", "1900-02-28", ""))
   }
 
   test("convert: emitted CSV round-trips commas, quotes, and blanks") {
