@@ -379,6 +379,56 @@ object DedupOps {
       doc = "Dedup: positional 8-token span duplication ratios (span-removal signal)"),
 
     Q(
+      "d10_decontaminate",
+      (s, dir) => {
+        // DECONTAMINATION: eval-set n-gram overlap scoring — the pass
+        // that keeps benchmark text out of a training corpus. A held-out
+        // set (deterministic stand-in: doc_id % 97 == 0) defines the
+        // contaminated-gram universe; every corpus doc reports how many
+        // of its distinct grams appear there. Scale shape: the benchmark
+        // side is EVAL-set sized (MBs even for a large suite) and
+        // broadcast — the corpus side is one narrow shingle pass, one
+        // distinct, one broadcast probe, one doc rollup; the corpus never
+        // self-joins. n is the shingle-kernel parameter (real deployments
+        // run 8–13; 3 here so the synthetic corpus exercises nonzero
+        // overlap).
+        val grams = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(call_function("graft_shingle_strings", col("text"), lit(3))).as("g_s"))
+          .select(col("doc_id"), h60(col("g_s")).as("g"))
+          .distinct()
+          .localCheckpoint(false) // bench universe + corpus probe share it
+        val bench = grams.filter(col("doc_id") % 97 === 0)
+          .select(col("g")).distinct().withColumn("hit", lit(1))
+        val corpus = grams.filter(col("doc_id") % 97 =!= 0)
+        corpus.join(broadcast(bench), Seq("g"), "left")
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_grams"),
+            count(col("hit")).as("n_overlap"),
+            floor(count(col("hit")).cast("double") * 1000d /
+              count(lit(1)).cast("double")).cast("long").as("overlap_permille"))
+      },
+      Some("""WITH tok AS (
+                SELECT doc_id,
+                  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+                FROM documents),
+              g AS (SELECT doc_id,
+                  list_distinct([ ('0x'||substr(md5(array_to_string(w[i:i+2], ' ')),1,15))::BIGINT
+                           for i in range(1, len(w) - 1) ]) AS gs
+                FROM tok WHERE len(w) >= 3),
+              bench AS (SELECT DISTINCT unnest(gs) AS g FROM g WHERE doc_id % 97 = 0),
+              corpus AS (SELECT doc_id, gs FROM g WHERE doc_id % 97 <> 0),
+              ex AS (SELECT doc_id, unnest(gs) AS g FROM corpus),
+              hit AS (SELECT doc_id, count(*) AS n_overlap
+                      FROM ex JOIN bench USING (g) GROUP BY doc_id)
+              SELECT c.doc_id, len(c.gs)::BIGINT AS n_grams,
+                coalesce(h.n_overlap, 0)::BIGINT AS n_overlap,
+                (coalesce(h.n_overlap, 0) * 1000 // len(c.gs))::BIGINT AS overlap_permille
+              FROM corpus c LEFT JOIN hit h USING (doc_id)"""),
+      doc = "Decontamination: eval-set n-gram overlap scoring with broadcast gram universe"),
+
+    Q(
       "d6_embed_neardup",
       (s, dir) => {
         // embedding-cosine near-dup, LSH-prefiltered: 4 bands x 4
