@@ -281,6 +281,42 @@ object TextOps {
       doc = "Composition: langid + token floor + exact dedup → survivorship"),
 
     Q(
+      "tp2_stratified_sample",
+      (s, dir) => {
+        // STRATIFIED DETERMINISTIC SAMPLING: per-source keep rates gated
+        // on a content-stable hash (h60(doc_id) % 1000 < rate) — the
+        // reproducible downsampling a corpus mix is built from. No
+        // rand(): the same doc survives on every run, every partitioning,
+        // every retry, and the sample composes with later passes. One
+        // narrow pass + one map-side-combined rollup; the rate table is a
+        // plan-time literal (in production, a broadcast config dim).
+        val rates = typedlit(Seq(1000L, 500L, 250L, 125L))
+        val d = t(s, dir, "documents")
+          .withColumn("rate_permille",
+            element_at(rates, substring(col("source"), 4, 10).cast("int") % 4 + 1))
+          .withColumn("h", graft.functions.HashFunctions.h60(col("doc_id").cast("string")) % 1000)
+          .withColumn("n_toks", size(tokens(col("text"))).cast("long"))
+        d.groupBy(col("source"))
+          .agg(
+            max(col("rate_permille")).as("rate_permille"),
+            count(lit(1)).as("n_total"),
+            sum(when(col("h") < col("rate_permille"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("h") < col("rate_permille"), col("n_toks"))
+              .otherwise(0L)).as("kept_tokens"))
+      },
+      Some("""WITH d AS (SELECT source,
+                ([1000,500,250,125])[(substr(source, 4)::INT % 4) + 1] AS rate_permille,
+                ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 1000 AS h,
+                len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_toks
+              FROM documents)
+              SELECT source, max(rate_permille)::BIGINT AS rate_permille,
+                count(*) AS n_total,
+                sum(CASE WHEN h < rate_permille THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+                sum(CASE WHEN h < rate_permille THEN n_toks ELSE 0 END)::BIGINT AS kept_tokens
+              FROM d GROUP BY source"""),
+      doc = "Sampling: stratified deterministic hash-gated corpus downsampling"),
+
+    Q(
       "t5_corpus_ngrams",
       (s, dir) => {
         // corpus-wide top-20 word trigrams: explode → count → total-order
