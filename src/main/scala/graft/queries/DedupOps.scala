@@ -392,12 +392,15 @@ object DedupOps {
         // self-joins. n is the shingle-kernel parameter (real deployments
         // run 8–13; 3 here so the synthetic corpus exercises nonzero
         // overlap).
-        val grams = t(s, dir, "documents")
-          .select(col("doc_id"),
-            explode(call_function("graft_shingle_strings", col("text"), lit(3))).as("g_s"))
-          .select(col("doc_id"), h60(col("g_s")).as("g"))
-          .distinct()
-          .localCheckpoint(false) // bench universe + corpus probe share it
+        // bench universe + corpus probe share the distinct gram frame,
+        // materialized once per (app, dir) like the other signatures
+        val grams = materialized(s, dir, "grams3") {
+          t(s, dir, "documents")
+            .select(col("doc_id"),
+              explode(call_function("graft_shingle_strings", col("text"), lit(3))).as("g_s"))
+            .select(col("doc_id"), h60(col("g_s")).as("g"))
+            .distinct()
+        }
         val bench = grams.filter(col("doc_id") % 97 === 0)
           .select(col("g")).distinct().withColumn("hit", lit(1))
         val corpus = grams.filter(col("doc_id") % 97 =!= 0)
