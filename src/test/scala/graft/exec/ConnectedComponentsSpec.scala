@@ -82,6 +82,21 @@ class ConnectedComponentsSpec extends SparkTestBase {
     }
   }
 
+  test("dense randomized graph incl. self-loops: star equals union-find") {
+    // one heavier case: ~600 nodes, 900 edges (several giant components,
+    // chains, hubs, self-loops) through the full distributed path
+    val rnd = new scala.util.Random(12345)
+    val edges = (Seq.fill(850)((rnd.nextInt(600).toLong, rnd.nextInt(600).toLong)) ++
+      (0L until 50L).map(i => (i * 7 % 600, i * 7 % 600))) // self-loops
+    val df = edges.toDF("a", "b")
+    val star = ConnectedComponents.components(df, "a", "b", localThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    val uf = ConnectedComponents.components(df, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(star == uf)
+    assert(star.nonEmpty && star.forall { case (id, label) => label <= id })
+  }
+
   test("self-loop-only nodes survive star contraction like the other paths") {
     // (7,7) contributes a NODE but no contraction edge — all three
     // implementations must report it self-labeled
