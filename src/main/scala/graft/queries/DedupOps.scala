@@ -348,11 +348,13 @@ object DedupOps {
         // native n=8 shingle kernel: the HOF form (shingles(tokens(.),8))
         // pays an interpreted slice+join per span and was 4x the whole
         // query's cost at sf0.1
-        val spans = t(s, dir, "documents")
-          .select(col("doc_id"),
-            explode(call_function("graft_shingle_strings", col("text"), lit(8))).as("sp_s"))
-          .select(col("doc_id"), h60(col("sp_s")).as("sp"))
-          .localCheckpoint(false) // feeds the counts AND the join back
+        // feeds the counts AND the join back; shared via the family cache
+        val spans = materialized(s, dir, "spans8") {
+          t(s, dir, "documents")
+            .select(col("doc_id"),
+              explode(call_function("graft_shingle_strings", col("text"), lit(8))).as("sp_s"))
+            .select(col("doc_id"), h60(col("sp_s")).as("sp"))
+        }
         val counts = spans.groupBy(col("sp")).agg(count(lit(1)).as("n"))
         val dup = sum(when(col("n") > 1, 1L).otherwise(0L))
         spans.join(counts, Seq("sp"))
