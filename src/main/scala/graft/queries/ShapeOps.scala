@@ -93,6 +93,28 @@ object ShapeOps {
       doc = "J6: full-width iterative left join on the subject key"),
 
     Q(
+      "j6b_full_width_agg",
+      (s, dir) => {
+        // the SCALE-SHAPED form of j6: identical output from ONE
+        // conditional aggregation — a single shuffle and a single pass
+        // over events instead of one filtered aggregate + join per form
+        // (j6 keeps the reference's iterative-join shape deliberately;
+        // this is what the engine would actually run at 100 TB)
+        val e = t(s, dir, "events")
+        val counts = EventTypes.map(et =>
+          sum(when(col("event_type") === et, 1L).otherwise(0L)).as(s"n_$et"))
+        e.groupBy(col("user_id")).agg(counts.head, counts.tail: _*)
+      },
+      Some("""SELECT user_id,
+              COUNT(*) FILTER (event_type = 'click')    AS n_click,
+              COUNT(*) FILTER (event_type = 'error')    AS n_error,
+              COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+              COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
+              COUNT(*) FILTER (event_type = 'view')     AS n_view
+              FROM events GROUP BY user_id"""),
+      doc = "J6 alt: full-width sheet as one conditional aggregation (single shuffle)"),
+
+    Q(
       "w2_sessionize",
       (s, dir) => {
         // gap-and-island sessionization (batch form of the streaming

@@ -103,6 +103,13 @@ class PlanAssertionsSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("j6b_full_width_agg: single shuffle, map-side partial aggregation") {
+    val p = plan("j6b_full_width_agg")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("j8 tie precondition: (user_id, ts) is unique in the events table") {
     // j8's Spark side breaks same-instant click ties by event_id; the
     // DuckDB ASOF oracle picks an arbitrary tied row. The contract is
