@@ -160,4 +160,39 @@ class EtlRunnerSpec extends SparkTestBase {
     assert(result.recordCounts(("x1", "participant")) == 1)
     assert(result.violations == 0)
   }
+
+  test("S8 end-to-end: schema and transformations served over HTTP") {
+    import com.sun.net.httpserver.HttpServer
+    val dir = Files.createTempDirectory("graft_etlrun_http")
+    val schemaJson = """
+      {"$defs": {
+        "participant": {"type": "object", "required": ["participant_id"],
+          "properties": {"participant_id": {"type": "string"}}}
+      }}"""
+    val xformJson = """
+      {"name": "remote1", "uuid_seed": "s", "mappings": [
+        {"output_field": "participant.participant_id", "source_field": "id"}
+      ]}"""
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def serve(path: String, body: String): Unit =
+      server.createContext(path, exchange => {
+        val b = body.getBytes("UTF-8")
+        exchange.sendResponseHeaders(200, b.length)
+        exchange.getResponseBody.write(b)
+        exchange.close()
+      })
+    serve("/schema.json", schemaJson)
+    serve("/transformations.json", xformJson)
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val srcPath = write(dir, "source.csv", "id\nP1\nP2\n")
+      val result = EtlRunner.run(spark, EtlRunner.Config(
+        s"http://127.0.0.1:$port/schema.json",
+        s"http://127.0.0.1:$port/transformations.json",
+        srcPath, rowKeyColumn = "id", outDir = dir.resolve("out").toString))
+      assert(result.recordCounts(("remote1", "participant")) == 2)
+      assert(result.violations == 0)
+    } finally server.stop(0)
+  }
 }
