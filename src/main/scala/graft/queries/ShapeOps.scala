@@ -151,6 +151,49 @@ object ShapeOps {
       doc = "Sessionization: 30-min gap-and-island windows (batch = streaming semantics)"),
 
     Q(
+      "w4_native_session",
+      (s, dir) => {
+        // the BUILT-IN operator for the same semantics: Spark's
+        // session_window merges events within the gap into one window
+        // whose end = last event + gap. w2 keeps the custom gap-and-island
+        // form (it carries a session ordinal the built-in doesn't expose);
+        // this is the plain-Spark path a user reaches for first, and the
+        // two are cross-checked by sharing the events table and oracle
+        // family. One shuffle on user_id, session merge inside the
+        // aggregation — same profile as the streaming form.
+        val e = t(s, dir, "events").withColumn("value", dec(col("value")))
+        e.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value")).as("sv"))
+          .select(
+            col("user_id"),
+            date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+            date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+            col("n_events"),
+            col("sv").cast("double").as("sum_value"))
+      },
+      Some("""WITH o AS (
+                SELECT user_id, event_id, ts, value,
+                  -- native session_window breaks at diff >= gap (an event
+                  -- landing exactly on the window end opens a NEW session),
+                  -- unlike w2's custom > gap contract
+                  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                       THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              sx AS (
+                SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_idx
+                FROM o)
+              SELECT user_id,
+                strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+                strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+                count(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+              FROM sx GROUP BY user_id, session_idx"""),
+      doc = "Sessionization 2: Spark's native session_window (end = last event + gap)"),
+
+    Q(
       "w3_click_attribution",
       (s, dir) =>
         // interval self-join (batch form of the stream-stream join; the
