@@ -317,6 +317,37 @@ object TextOps {
       doc = "Sampling: stratified deterministic hash-gated corpus downsampling"),
 
     Q(
+      "t8_quality_topk",
+      (s, dir) => {
+        // PER-SOURCE QUALITY SELECTION: keep each source's top-5 docs by
+        // a quality signal (vocabulary-diversity permille, ties by
+        // doc_id) — the quota-curation op that builds a corpus mix from
+        // per-domain best-of. The window partitions by source, so at
+        // 100 TB each partition ranks independently after one shuffle;
+        // no global sort anywhere.
+        import org.apache.spark.sql.expressions.Window
+        val toks = tokens(col("text"))
+        val scored = t(s, dir, "documents").select(
+          col("doc_id"), col("source"),
+          floor(size(array_distinct(toks)).cast("double") * 1000d /
+            size(toks).cast("double")).cast("long").as("diversity_permille"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("diversity_permille").desc, col("doc_id"))
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+      },
+      Some("""WITH scored AS (SELECT doc_id, source,
+                (len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) * 1000
+                 // len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')))::BIGINT
+                  AS diversity_permille
+              FROM documents)
+              SELECT doc_id, source, diversity_permille, rank FROM
+                (SELECT *, row_number() OVER (PARTITION BY source
+                   ORDER BY diversity_permille DESC, doc_id) AS rank FROM scored)
+              WHERE rank <= 5"""),
+      doc = "Curation: per-source quality top-k quota selection (partitioned rank)"),
+
+    Q(
       "t5_corpus_ngrams",
       (s, dir) => {
         // corpus-wide top-20 word trigrams: explode → count → total-order
