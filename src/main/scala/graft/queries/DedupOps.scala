@@ -442,14 +442,18 @@ object DedupOps {
         // the threshold is set to exercise real matches.) Norms are
         // precomputed per VECTOR, not per pair — verification is one dot
         // product + one divide instead of three dots.
-        val e = t(s, dir, "embeddings")
-          .select(col("vec_id"), quantizeN(col("embedding")).as("q"))
-          .withColumn("nrm", sqrt(dotQN(col("q"), col("q")).cast("double")))
-          .localCheckpoint(false) // quantize + norm run once, not per consumer
-        val bands = e.select(col("vec_id"),
-          explode(call_function("graft_lsh_bands",
-            col("q"), lit(4), lit(4), lit(64))).as("band_key"))
-          .localCheckpoint(false) // 16 hyperplane dots run once, not per side
+        // quantize+norm and the 16 hyperplane dots each run once per
+        // (app, dir) — shared through the family signature cache
+        val e = materialized(s, dir, "embedq") {
+          t(s, dir, "embeddings")
+            .select(col("vec_id"), quantizeN(col("embedding")).as("q"))
+            .withColumn("nrm", sqrt(dotQN(col("q"), col("q")).cast("double")))
+        }
+        val bands = materialized(s, dir, "embedbands") {
+          e.select(col("vec_id"),
+            explode(call_function("graft_lsh_bands",
+              col("q"), lit(4), lit(4), lit(64))).as("band_key"))
+        }
         val pairs = bands.select(col("band_key"), col("vec_id").as("vec_a"))
           .join(bands.select(col("band_key"), col("vec_id").as("vec_b")), Seq("band_key"))
           .filter(col("vec_a") < col("vec_b"))
