@@ -82,6 +82,14 @@ object TextFunctions {
       split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
       t => trim(t) =!= lit("")))
 
+  /** Integer permille via floor over an exact double division: operands
+    * stay < 2^53 so the quotient cannot straddle an integer boundary —
+    * bit-identical to DuckDB's integer `//` after *1000. The ratio idiom
+    * every quality/overlap/duplication signal uses.
+    */
+  def permille(num: Column, den: Column): Column =
+    floor(num.cast("double") * 1000d / den.cast("double")).cast("long")
+
   /** Tiny per-language marker lexicons (stopword heuristic) for language
     * ID. On synthetic corpora the interesting part is the *mechanism*:
     * per-language marker hit counts → argmax with deterministic tie-break

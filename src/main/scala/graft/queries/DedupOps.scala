@@ -362,8 +362,7 @@ object DedupOps {
           .agg(
             count(lit(1)).as("n_spans"),
             dup.as("n_dup_spans"),
-            floor(dup.cast("double") * 1000d / count(lit(1)).cast("double"))
-              .cast("long").as("dup_permille"))
+            permille(dup, count(lit(1))).as("dup_permille"))
       },
       Some("""WITH tok AS (
                 SELECT doc_id,
@@ -411,8 +410,7 @@ object DedupOps {
           .agg(
             count(lit(1)).as("n_grams"),
             count(col("hit")).as("n_overlap"),
-            floor(count(col("hit")).cast("double") * 1000d /
-              count(lit(1)).cast("double")).cast("long").as("overlap_permille"))
+            permille(count(col("hit")), count(lit(1))).as("overlap_permille"))
       },
       Some("""WITH tok AS (
                 SELECT doc_id,

@@ -17,6 +17,22 @@ object ShapeOps {
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
 
+  /** Gaps-and-islands session CTEs shared by the w2 and w4 oracles. The
+    * break comparator is the one semantic difference between the custom
+    * sessionizer (`>` gap) and Spark's native session_window (`>=` gap).
+    */
+  private def sessionIslandsCte(breakOp: String): String =
+    s"""o AS (
+          SELECT user_id, ts, event_id, value,
+            CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w $breakOp 1800000000
+                 THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sx AS (
+          SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_idx
+          FROM o)"""
+
   def qs: Seq[Q] = Seq(
     Q(
       "v1_pivot_events",
@@ -132,16 +148,7 @@ object ShapeOps {
             col("n_events"),
             col("sum_value").cast("double").as("sum_value"))
       },
-      Some("""WITH o AS (
-                SELECT user_id, ts, event_id, value,
-                  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
-                       THEN 1 ELSE 0 END AS brk
-                FROM events
-                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-              sx AS (
-                SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                         ROWS UNBOUNDED PRECEDING) AS session_idx
-                FROM o)
+      Some(s"""WITH ${sessionIslandsCte(">")}
               SELECT user_id, session_idx::BIGINT AS session_idx,
                 strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
                 strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
@@ -172,19 +179,10 @@ object ShapeOps {
             col("n_events"),
             col("sv").cast("double").as("sum_value"))
       },
-      Some("""WITH o AS (
-                SELECT user_id, event_id, ts, value,
-                  -- native session_window breaks at diff >= gap (an event
-                  -- landing exactly on the window end opens a NEW session),
-                  -- unlike w2's custom > gap contract
-                  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
-                       THEN 1 ELSE 0 END AS brk
-                FROM events
-                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-              sx AS (
-                SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                         ROWS UNBOUNDED PRECEDING) AS session_idx
-                FROM o)
+      // native session_window breaks at diff >= gap (an event landing
+      // exactly on the window end opens a NEW session), unlike w2's
+      // custom > gap contract — hence the comparator parameter
+      Some(s"""WITH ${sessionIslandsCte(">=")}
               SELECT user_id,
                 strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
                 strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,

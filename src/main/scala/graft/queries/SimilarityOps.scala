@@ -83,6 +83,21 @@ object SimilarityOps {
       .filter(col("rank") <= K)
   }
 
+  /** Nearest `keep` cells per vector by quantized cosine against a
+    * (cent_id, cq, cn) centroid frame — the probe/assignment kernel the
+    * fixed-seed IVF (sim3) and the trained IVF (sim5) share.
+    */
+  private def nearestCells(side: DataFrame, cents: DataFrame, keep: Int): DataFrame = {
+    val scored = side.crossJoin(cents)
+      .select(col("vec_id"), col("q"), col("nrm"), col("cent_id"),
+        (dotQN(col("q"), col("cq")).cast("double") /
+          (col("nrm") * col("cn"))).as("ccos"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    scored.withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= keep)
+  }
+
   /** IVF nprobe top-k (sim3): broadcast coarse quantizer, per-cell exact
     * scoring inside the probed cells only.
     */
@@ -92,19 +107,9 @@ object SimilarityOps {
       .withColumn("nrm", sqrt(dotQN(col("q"), col("q")).cast("double")))
     val cents = broadcast(e.filter(expr(CentSetSql))
       .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("nrm").as("cn")))
-    def nearestCells(side: DataFrame, keep: Int) = {
-      val scored = side.crossJoin(cents)
-        .select(col("vec_id"), col("q"), col("nrm"), col("cent_id"),
-          (dotQN(col("q"), col("cq")).cast("double") /
-            (col("nrm") * col("cn"))).as("ccos"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("cent_id"))
-      scored.withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-    }
-    val assigned = nearestCells(e.filter(!expr(QuerySetSql)), 1)
+    val assigned = nearestCells(e.filter(!expr(QuerySetSql)), cents, 1)
       .select(col("cent_id"), col("vec_id"), col("q"), col("nrm"))
-    val probes = nearestCells(e.filter(expr(QuerySetSql)), NProbe)
+    val probes = nearestCells(e.filter(expr(QuerySetSql)), cents, NProbe)
       .select(col("cent_id"), col("vec_id").as("query_id"),
         col("q").as("qq"), col("nrm").as("qn"))
     // probes are |queryset| x nprobe rows BY CONSTRUCTION — broadcast
@@ -289,19 +294,9 @@ object SimilarityOps {
           cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
             .toDF("cent_id", "cq")
             .withColumn("cn", sqrt(dotQN(col("cq"), col("cq")).cast("double"))))
-        def nearestCells(side: DataFrame, keep: Int) = {
-          val scored = side.crossJoin(centDf)
-            .select(col("vec_id"), col("q"), col("nrm"), col("cent_id"),
-              (dotQN(col("q"), col("cq")).cast("double") /
-                (col("nrm") * col("cn"))).as("ccos"))
-          val w = Window.partitionBy(col("vec_id"))
-            .orderBy(col("ccos").desc, col("cent_id"))
-          scored.withColumn("crank", row_number().over(w))
-            .filter(col("crank") <= keep)
-        }
-        val assigned = nearestCells(e.filter(!expr(QuerySetSql)), 1)
+        val assigned = nearestCells(e.filter(!expr(QuerySetSql)), centDf, 1)
           .select(col("cent_id"), col("vec_id"), col("q"), col("nrm"))
-        val probes = nearestCells(e.filter(expr(QuerySetSql)), NProbe)
+        val probes = nearestCells(e.filter(expr(QuerySetSql)), centDf, NProbe)
           .select(col("cent_id"), col("vec_id").as("query_id"),
             col("q").as("qq"), col("nrm").as("qn"))
         val scored = assigned.join(broadcast(probes), Seq("cent_id"))

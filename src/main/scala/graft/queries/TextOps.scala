@@ -69,11 +69,6 @@ object TextOps {
         val nStop = size(filter(toks, x => x.isin(stop.map(lit(_)): _*)))
         val nChars = aggregate(toks, lit(0L), (acc, x) => acc + length(x))
         val nAlpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
-        // integer permille via floor(exact-double division): operands stay
-        // < 2^53 so the quotient can't straddle an integer boundary — same
-        // result as DuckDB's integer `//`
-        def permille(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
-          floor(num.cast("double") * 1000d / den.cast("double")).cast("long")
         t(s, dir, "documents").select(
           col("doc_id"),
           nTok.as("n_tokens"),
@@ -230,8 +225,7 @@ object TextOps {
           .groupBy(col("doc_id"))
           .agg(
             count(lit(1)).as("n_tokens"),
-            floor(sum(col("rank")).cast("double") * 1000d /
-              count(lit(1)).cast("double")).cast("long").as("mean_rank_permille"))
+            permille(sum(col("rank")), count(lit(1))).as("mean_rank_permille"))
       },
       Some("""WITH tok AS (
                 SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
@@ -329,8 +323,7 @@ object TextOps {
         val toks = tokens(col("text"))
         val scored = t(s, dir, "documents").select(
           col("doc_id"), col("source"),
-          floor(size(array_distinct(toks)).cast("double") * 1000d /
-            size(toks).cast("double")).cast("long").as("diversity_permille"))
+          permille(size(array_distinct(toks)), size(toks)).as("diversity_permille"))
         val w = Window.partitionBy(col("source"))
           .orderBy(col("diversity_permille").desc, col("doc_id"))
         scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -269,7 +269,7 @@ object XlsxConverter {
           text.setLength(0)
         case "v" => inV = true
         case "f" => inF = true // data_only: formula text is never a value
-        case "is" => inIs = true; inIsT = false
+        case "is" => inIs = true
         case "rPh" => inPhonetic = true // furigana runs are not cell text
         // only <t> runs INSIDE <is> (and outside phonetic annotations)
         // are inline cell text

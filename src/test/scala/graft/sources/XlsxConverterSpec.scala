@@ -1,7 +1,6 @@
 package graft.sources
 
 import java.nio.file.{Files, Path}
-import java.util.zip.{ZipEntry, ZipOutputStream}
 
 import org.apache.spark.sql.functions._
 
@@ -19,24 +18,11 @@ import graft.SparkTestBase
   */
 class XlsxConverterSpec extends SparkTestBase {
 
-  private def buildXlsx(dir: Path): String = {
-    val f = dir.resolve("study.xlsx")
-    val z = new ZipOutputStream(Files.newOutputStream(f))
-    def part(name: String, body: String): Unit = {
-      z.putNextEntry(new ZipEntry(name))
-      z.write(body.getBytes("UTF-8"))
-      z.closeEntry()
-    }
-    part("[Content_Types].xml",
-      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
-    part("_rels/.rels",
-      """<?xml version="1.0"?>
-        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
-        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
-        |</Relationships>""".stripMargin)
+  private def buildXlsx(dir: Path): String = graft.TestXlsx.writeParts(
+    dir.resolve("study.xlsx"), Seq(
     // deliberately listed rId2-then-rId1 to prove tab order follows the
     // <sheets> sequence, not relationship ids
-    part("xl/workbook.xml",
+    "xl/workbook.xml" ->
       """<?xml version="1.0"?>
         |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
         |          xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
@@ -44,25 +30,25 @@ class XlsxConverterSpec extends SparkTestBase {
         |<sheet name="participant" sheetId="1" r:id="rId2"/>
         |<sheet name="diagnosis" sheetId="2" r:id="rId1"/>
         |</sheets>
-        |</workbook>""".stripMargin)
-    part("xl/_rels/workbook.xml.rels",
+        |</workbook>""".stripMargin,
+    "xl/_rels/workbook.xml.rels" ->
       """<?xml version="1.0"?>
         |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
         |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/>
         |<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
-        |</Relationships>""".stripMargin)
-    // entry 2 is a rich-text string split across runs — must concatenate
-    // the <r> runs but EXCLUDE the phonetic <rPh> annotation
-    part("xl/sharedStrings.xml",
+        |</Relationships>""".stripMargin,
+    // shared-string entry 2 is a rich-text string split across runs — must
+    // concatenate the <r> runs but EXCLUDE the phonetic <rPh> annotation.
+    // sheet1 row 3: sparse (A skipped via explicit C-column ref); row 4:
+    // cached formula value (data_only) + unevaluated formula (blank)
+    "xl/sharedStrings.xml" ->
       """<?xml version="1.0"?>
         |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">
         |<si><t>participant_id</t></si>
         |<si><t xml:space="preserve"> sex </t></si>
         |<si><r><t>P</t></r><r><t>001</t></r><rPh sb="0" eb="1"><t>pii</t></rPh></si>
-        |</sst>""".stripMargin)
-    // row 3: sparse (A skipped via explicit C-column ref on the 2nd cell);
-    // row 4: cached formula value (data_only) + unevaluated formula (blank)
-    part("xl/worksheets/sheet1.xml",
+        |</sst>""".stripMargin,
+    "xl/worksheets/sheet1.xml" ->
       """<?xml version="1.0"?>
         |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
         |<sheetData>
@@ -71,49 +57,33 @@ class XlsxConverterSpec extends SparkTestBase {
         |<row r="3"><c r="A3" t="inlineStr"><is><t>P002</t></is></c><c r="C3"><v>365</v></c><c r="D3" t="b"><v>0</v></c></row>
         |<row r="4"><c r="A4" t="inlineStr"><is><t>P003</t></is></c><c r="B4" t="inlineStr"><is><t>M</t></is></c><c r="C4"><f>SUM(X1:X2)</f><v>730</v></c><c r="D4"><f>NEVER()</f></c></row>
         |</sheetData>
-        |</worksheet>""".stripMargin)
-    part("xl/worksheets/sheet2.xml",
+        |</worksheet>""".stripMargin,
+    "xl/worksheets/sheet2.xml" ->
       """<?xml version="1.0"?>
         |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
         |<sheetData>
         |<row r="1"><c r="A1" t="inlineStr"><is><t>diagnosis_id</t></is></c><c r="B1" t="inlineStr"><is><t>code, note</t></is></c></row>
         |<row r="2"><c r="A2" t="inlineStr"><is><t>D1</t></is></c><c r="B2" t="inlineStr"><is><t>C71.9 "primary"</t></is></c></row>
         |</sheetData>
-        |</worksheet>""".stripMargin)
-    z.close()
-    f.toString
-  }
+        |</worksheet>""".stripMargin))
 
   /** Workbook with styles.xml: style 1 = builtin date (14), style 2 =
     * custom date code, style 3 = plain decimal — only 1 and 2 convert.
     */
-  private def buildDatedXlsx(dir: Path): String = {
-    val f = dir.resolve("dated.xlsx")
-    val z = new ZipOutputStream(Files.newOutputStream(f))
-    def part(name: String, body: String): Unit = {
-      z.putNextEntry(new ZipEntry(name))
-      z.write(body.getBytes("UTF-8"))
-      z.closeEntry()
-    }
-    part("[Content_Types].xml",
-      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
-    part("_rels/.rels",
-      """<?xml version="1.0"?>
-        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
-        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
-        |</Relationships>""".stripMargin)
-    part("xl/workbook.xml",
+  private def buildDatedXlsx(dir: Path): String = graft.TestXlsx.writeParts(
+    dir.resolve("dated.xlsx"), Seq(
+    "xl/workbook.xml" ->
       """<?xml version="1.0"?>
         |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
         |          xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
         |<sheets><sheet name="visits" sheetId="1" r:id="rId1"/></sheets>
-        |</workbook>""".stripMargin)
-    part("xl/_rels/workbook.xml.rels",
+        |</workbook>""".stripMargin,
+    "xl/_rels/workbook.xml.rels" ->
       """<?xml version="1.0"?>
         |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
         |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
-        |</Relationships>""".stripMargin)
-    part("xl/styles.xml",
+        |</Relationships>""".stripMargin,
+    "xl/styles.xml" ->
       """<?xml version="1.0"?>
         |<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
         |<numFmts count="2">
@@ -126,18 +96,15 @@ class XlsxConverterSpec extends SparkTestBase {
         |<xf numFmtId="164"/>
         |<xf numFmtId="165"/>
         |</cellXfs>
-        |</styleSheet>""".stripMargin)
-    part("xl/worksheets/sheet1.xml",
+        |</styleSheet>""".stripMargin,
+    "xl/worksheets/sheet1.xml" ->
       """<?xml version="1.0"?>
         |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
         |<sheetData>
         |<row r="1"><c r="A1" t="inlineStr"><is><t>visit_date</t></is></c><c r="B1" t="inlineStr"><is><t>visit_dt</t></is></c><c r="C1" t="inlineStr"><is><t>score</t></is></c><c r="D1" t="inlineStr"><is><t>plain</t></is></c><c r="E1" t="inlineStr"><is><t>lotus</t></is></c><c r="F1" t="inlineStr"><is><t>tod</t></is></c><c r="G1" t="inlineStr"><is><t>phantom</t></is></c><c r="H1" t="inlineStr"><is><t>emptyb</t></is></c></row>
         |<row r="2"><c r="A2" s="1"><v>45292</v></c><c r="B2" s="2"><v>45292.5</v></c><c r="C2" s="3"><v>45292</v></c><c r="D2"><v>45292</v></c><c r="E2" s="1"><v>1</v></c><c r="F2" s="1"><v>0.5</v></c><c r="G2" s="1"><v>60</v></c><c r="H2" t="b"/></row>
         |</sheetData>
-        |</worksheet>""".stripMargin)
-    z.close()
-    f.toString
-  }
+        |</worksheet>""".stripMargin))
 
   private def tmp(): Path = {
     val d = Files.createTempDirectory("xlsx")
