@@ -39,11 +39,11 @@ object ConnectedComponents {
     */
   def components(
       edges: DataFrame, srcCol: String, dstCol: String,
-      localThreshold: Long = 1L << 20): DataFrame = {
+      localThreshold: Long = 1L << 20, maxIter: Int = 30): DataFrame = {
     val fwd = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .localCheckpoint(false)
-    if (fwd.count() > localThreshold) starContraction(fwd, "src", "dst")
+    if (fwd.count() > localThreshold) starContraction(fwd, "src", "dst", maxIter)
     else {
       // union-find with path halving; roots then remapped to component min
       val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -92,6 +92,14 @@ object ConnectedComponents {
     * symmetric-difference check before exiting — the checksum alone only
     * gates when the expensive exact comparison runs, so a collision can
     * delay nothing and break nothing.
+    *
+    * Exhausting `maxIter` without reaching the fixed point THROWS: the
+    * post-loop labeling assumes the edge set is a star set, so continuing
+    * would silently emit wrong component labels — on a 100 TB corpus this
+    * is the one failure mode nobody would notice until a downstream model
+    * trained on mislabeled duplicates. A too-small round budget must
+    * surface as a loud job failure the operator can retry with a larger
+    * `maxIter`, never as plausible-looking output.
     *
     * @param edges undirected edge frame (one row per pair, either order)
     * @return frame (id, label): label = min node id in the component
@@ -148,6 +156,11 @@ object ConnectedComponents {
       e = next
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"star contraction did not converge within maxIter=$maxIter rounds " +
+          s"(${prevSum._1} edges still contracting); labels would be WRONG — " +
+          "rerun with a larger maxIter")
     // fixed point = disjoint stars: u→center on the u side, the centers
     // label themselves on the v side
     val stars = e.select(col("u").as("id"), col("v").as("label"))
@@ -203,6 +216,11 @@ object ConnectedComponents {
       labels = next
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"min-label propagation did not converge within maxIter=$maxIter rounds; " +
+          "labels would be WRONG — rerun with a larger maxIter " +
+          "(or use starContraction, whose round count is O(log n), not O(diameter))")
     labels
   }
 }

@@ -84,11 +84,16 @@ object TextFunctions {
 
   /** Integer permille via floor over an exact double division: operands
     * stay < 2^53 so the quotient cannot straddle an integer boundary —
-    * bit-identical to DuckDB's integer `//` after *1000. The ratio idiom
-    * every quality/overlap/duplication signal uses.
+    * bit-identical to DuckDB's integer `//` after *1000, INCLUDING the
+    * zero denominator: DuckDB's `// 0` is NULL, while an unguarded
+    * double division would go NaN → non-ANSI long cast → a silent 0 for
+    * every empty-token document. The ratio idiom every quality/overlap/
+    * duplication signal uses.
     */
   def permille(num: Column, den: Column): Column =
-    floor(num.cast("double") * 1000d / den.cast("double")).cast("long")
+    when(den === 0, lit(null))
+      .otherwise(floor(num.cast("double") * 1000d / den.cast("double")))
+      .cast("long")
 
   /** Tiny per-language marker lexicons (stopword heuristic) for language
     * ID. On synthetic corpora the interesting part is the *mechanism*:

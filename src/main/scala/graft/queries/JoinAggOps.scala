@@ -297,14 +297,20 @@ object JoinAggOps {
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("ts"), col("is_click"), col("event_id"))
           .rowsBetween(Window.unboundedPreceding, -1)
+        // ONE window over a (ts, value) struct, both output fields pulled
+        // from it: two independent last(ignoreNulls) windows would source
+        // click_ts and click_value from DIFFERENT clicks whenever the
+        // latest prior click carries a NULL value (the ts window would
+        // still see it, the value window would skip past it) — an ASOF
+        // divergence invisible until a null lands in `value`.
         tagged
-          .withColumn("click_ts",
-            last(when(col("is_click") === 1, col("ts")), ignoreNulls = true).over(w))
-          .withColumn("click_value",
-            last(when(col("is_click") === 1, col("value")), ignoreNulls = true).over(w))
+          .withColumn("click",
+            last(when(col("is_click") === 1, struct(col("ts"), col("value"))),
+              ignoreNulls = true).over(w))
           .filter(col("is_click") === 0)
           .select(col("event_id").as("purchase_id"), col("user_id"),
-            col("ts").as("purchase_ts"), col("click_ts"), col("click_value"))
+            col("ts").as("purchase_ts"),
+            col("click.ts").as("click_ts"), col("click.value").as("click_value"))
       },
       Some("""WITH p AS (SELECT event_id, user_id, ts, value FROM events
                          WHERE event_type = 'purchase'),
