@@ -9,8 +9,9 @@ import org.apache.spark.sql.SparkSession
   * signature frames, so every timed run measures a steady-state plan
   * execution rather than whichever one-time cost lands on it (without the
   * pass, round-over-round comparison carried ±20% GC/compile noise).
-  * Each query is then timed twice and the best run reported: steady-state
-  * is what a cluster run amortizes to.
+  * Each query is then timed three times and the MEDIAN reported:
+  * steady-state with single-outlier rejection is what a cluster run
+  * amortizes to, and it keeps round-over-round deltas attributable.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -34,11 +35,16 @@ object Bench {
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     ordered.foreach { case (name, fn) => timeOnce(name, fn) } // untimed warm-up pass
-    // min of 3: most queries are now sub-second, where ~50ms of scheduler
-    // jitter is 15-25% of a single reading; the min statistic converges on
-    // the plan's true floor and keeps round-over-round deltas inside 10%
+    // MEDIAN of 3 after the warm-up: most queries are sub-second, where
+    // ~50ms of scheduler jitter is 15-25% of a single reading. The median
+    // rejects the one outlier a GC pause injects without the min's bias
+    // toward lucky runs, so round-over-round deltas are attributable to
+    // code, not machine weather. A failed run (-1 sentinel) poisons the
+    // whole reading — a query that breaks intermittently must never
+    // report a plausible time.
     val results = ordered.map { case (name, fn) =>
-      name -> Seq.fill(3)(timeOnce(name, fn)).min
+      val runs = Seq.fill(3)(timeOnce(name, fn))
+      name -> (if (runs.contains(-1.0)) -1.0 else runs.sorted.apply(1))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

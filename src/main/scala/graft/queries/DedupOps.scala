@@ -30,20 +30,38 @@ object DedupOps {
     * application + sf dir so Verify/Bench/tests never cross-contaminate;
     * the values are deterministic, so sharing cannot change any result.
     */
+  private val MaxSigEntries = 16
+  // Access-order LRU, NOT a wholesale clear: eviction drops only the
+  // least-recently-USED frame, so a long-lived app cycling through many
+  // dirs keeps its hot signatures while cold checkpoint blocks are
+  // released for the ContextCleaner to reclaim. Keyed by the SESSION
+  // itself (reference identity), not applicationId — two sessions over
+  // one context must not serve each other frames whose plans belong to a
+  // different session state. Values are deterministic, so any cache
+  // outcome is correctness-neutral; the bound only manages block pinning.
   private val sigCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
-  private def materialized(s: SparkSession, dir: String, kind: String)(
-      build: => DataFrame): DataFrame = {
-    // soft bound: a long-lived app touching many dirs would otherwise pin
-    // checkpoint blocks forever. Clearing drops OUR strong refs — the
-    // ContextCleaner reclaims the blocks once consumers release theirs.
-    // (Assumes dir contents are immutable for the app's lifetime, which
-    // holds for the read-only sf dirs and any sane corpus pass.)
-    if (sigCache.size > 16) sigCache.clear()
-    sigCache.computeIfAbsent(
-      (s.sparkContext.applicationId, dir, kind),
-      _ => build.localCheckpoint(false))
+    new java.util.LinkedHashMap[(SparkSession, String, String), DataFrame](
+        MaxSigEntries * 2, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String, String), DataFrame]): Boolean =
+        size() > MaxSigEntries
+    }
+  private[queries] def materialized(s: SparkSession, dir: String, kind: String)(
+      build: => DataFrame): DataFrame = sigCache.synchronized {
+    val key = (s, dir, kind)
+    Option(sigCache.get(key)).getOrElse {
+      val df = build.localCheckpoint(false)
+      sigCache.put(key, df)
+      df
+    }
   }
+  /** Test hook: the (dir, kind) keys currently cached for `s`. */
+  private[queries] def cachedSigEntries(s: SparkSession): Set[(String, String)] =
+    sigCache.synchronized {
+      import scala.jdk.CollectionConverters._
+      sigCache.keySet.asScala
+        .collect { case (sess, dir, kind) if sess eq s => (dir, kind) }.toSet
+    }
 
   /** Distinct word-3-gram shingle set per doc, HASHED to portable 60-bit
     * longs at shingling time (docs shorter than 3 tokens excluded — they

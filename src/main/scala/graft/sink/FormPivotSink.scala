@@ -5,12 +5,19 @@ import org.apache.spark.sql.functions._
 
 /** K5: the per-form pivot sink (reference etl/mci/data_pivoter.py:58-164).
   *
-  * Long (subject, form, field, value) entries become one wide CSV per
+  * Long (subject, form, field, value) entries become one wide sheet per
   * form (a row per subject, a column per field, FIRST value wins in
   * entry order) plus a `full_width` sheet left-joining every form on the
   * subject key with form-qualified column names — exactly the reference's
-  * multi-sheet workbook, as a directory of CSV "sheets" (the XLSX
-  * container stays out of scope offline, SURVEY §7.4).
+  * multi-sheet workbook. Two containers:
+  *
+  *   - [[writeSheets]]: a directory of CSV "sheets" — the splittable
+  *     format a 100 TB pivot would land in;
+  *   - [[writeWorkbook]]: a real `.xlsx` via [[XlsxWriter]], full-width
+  *     sheet first then forms in sorted order, mirroring the reference's
+  *     `_ALL_FORMS_`-then-forms workbook layout (data_pivoter.py:133-162
+  *     incl. its 31-char sheet-name truncation). Driver-side: workbooks
+  *     are MB-scale human-readable report artifacts, never the data path.
   *
   * Scale: each form's pivot is one explicit-value-list aggregation (the
   * field list comes from a metadata-sized distinct), and the full-width
@@ -32,6 +39,29 @@ object FormPivotSink {
       .agg(min_by(col(valueCol), col(ordCol)))
   }
 
+  /** Every form pivoted wide (sorted form order) plus the full-width
+    * left-join frame with `form.field`-qualified columns — the shared
+    * shape both sink containers serialize.
+    */
+  def pivotAll(
+      entries: DataFrame, subjectCol: String, formCol: String,
+      fieldCol: String, valueCol: String, ordCol: String)
+      : (Seq[(String, DataFrame)], DataFrame) = {
+    val forms = entries.select(col(formCol)).distinct()
+      .collect().map(_.getString(0)).sorted
+    val pivoted = forms.toSeq.map { f =>
+      f -> pivotForm(
+        entries.filter(col(formCol) === f), subjectCol, fieldCol, valueCol, ordCol)
+    }
+    val base = entries.select(col(subjectCol)).distinct()
+    val full = pivoted.foldLeft(base) { case (acc, (f, df)) =>
+      val qualified = df.columns.filterNot(_ == subjectCol)
+        .foldLeft(df)((d, c) => d.withColumnRenamed(c, s"$f.$c"))
+      acc.join(qualified, Seq(subjectCol), "left")
+    }
+    (pivoted, full)
+  }
+
   /** Write one CSV "sheet" per form plus the full-width left-join sheet
     * (columns `form.field`, headers sorted like the reference's pivoter).
     *
@@ -42,23 +72,36 @@ object FormPivotSink {
       subjectCol: String = "subject", formCol: String = "form",
       fieldCol: String = "field", valueCol: String = "value",
       ordCol: String = "ord"): Unit = {
-    val forms = entries.select(col(formCol)).distinct()
-      .collect().map(_.getString(0)).sorted
-    val pivoted = forms.map { f =>
-      f -> pivotForm(
-        entries.filter(col(formCol) === f), subjectCol, fieldCol, valueCol, ordCol)
-    }
+    val (pivoted, full) = pivotAll(entries, subjectCol, formCol, fieldCol, valueCol, ordCol)
     pivoted.foreach { case (f, df) =>
       df.coalesce(1).write.mode(SaveMode.Overwrite)
         .option("header", true).csv(s"$outDir/$f")
     }
-    val base = entries.select(col(subjectCol)).distinct()
-    val full = pivoted.foldLeft(base) { case (acc, (f, df)) =>
-      val qualified = df.columns.filterNot(_ == subjectCol)
-        .foldLeft(df)((d, c) => d.withColumnRenamed(c, s"$f.$c"))
-      acc.join(qualified, Seq(subjectCol), "left")
-    }
     full.coalesce(1).write.mode(SaveMode.Overwrite)
       .option("header", true).csv(s"$outDir/full_width")
+  }
+
+  /** Write the same pivot as ONE real `.xlsx` workbook: `full_width`
+    * first (the reference writes its `_ALL_FORMS_` join as the first
+    * sheet), then each form sorted. Rows are ordered by the subject key
+    * so the emitted artifact is deterministic; nulls render as blank
+    * cells. Collects to the driver — the workbook container is for
+    * study-scale report output (the reference's pivoter is fully
+    * in-memory petl for the same reason).
+    */
+  def writeWorkbook(
+      entries: DataFrame, outPath: String,
+      subjectCol: String = "subject", formCol: String = "form",
+      fieldCol: String = "field", valueCol: String = "value",
+      ordCol: String = "ord"): Unit = {
+    val (pivoted, full) = pivotAll(entries, subjectCol, formCol, fieldCol, valueCol, ordCol)
+    def grid(df: DataFrame): Seq[Seq[String]] = {
+      val cols = df.columns.toIndexedSeq
+      cols +: df.orderBy(col(subjectCol)).collect().toSeq.map { r =>
+        cols.indices.map(i => Option(r.get(i)).map(_.toString).getOrElse(""))
+      }
+    }
+    XlsxWriter.write(outPath,
+      ("full_width" -> grid(full)) +: pivoted.map { case (f, df) => f -> grid(df) })
   }
 }

@@ -83,17 +83,38 @@ object SourceReader {
     * `{tab}.csv` directory and scanned through [[workbookDir]]; anything
     * else is assumed to already BE such a directory. Study workbooks are
     * MB-scale ingest edges — the distributed scan starts at the CSVs.
+    *
+    * A REMOTE workbook (`http(s)://`, `hdfs://`, `s3a://`, `file://`) is
+    * fetched whole to a local temp file first — `java.util.zip.ZipFile`
+    * needs a local seekable file — mirroring the reference's file manager,
+    * which downloads remote workbooks before opening them
+    * (file_manager/c3dc_file_manager.py:210-225).
+    *
+    * Scratch hygiene: each tab frame is eagerly materialized
+    * (`localCheckpoint`) so the scratch CSVs and the fetched copy can be
+    * deleted BEFORE returning — a long-lived JVM running many studies must
+    * not accumulate scratch dirs until exit. Tabs are MB-scale, so the
+    * materialization is a per-tab block write, not a data-scale cost.
     */
   def workbook(spark: SparkSession, path: String, audit: Boolean = true): Map[String, DataFrame] =
     if (path.toLowerCase.endsWith(".xlsx")) {
+      val fetched =
+        if (path.contains("://")) {
+          val f = java.nio.file.Files.createTempFile("graft_wb_", ".xlsx")
+          java.nio.file.Files.write(f, FileFetcher.fetchBytes(path))
+          Some(f)
+        } else None
       val tmp = java.nio.file.Files.createTempDirectory("graft_xlsx_")
-      // deleteOnExit removes in reverse registration order: dir
-      // registered FIRST so the emitted csvs go first and the dir last —
-      // repeated runner invocations must not accumulate scratch copies
-      tmp.toFile.deleteOnExit()
-      XlsxConverter.convert(path, tmp.toString)
-        .values.foreach(p => new java.io.File(p).deleteOnExit())
-      workbookDir(spark, tmp.toString, audit)
+      try {
+        XlsxConverter.convert(fetched.map(_.toString).getOrElse(path), tmp.toString)
+        workbookDir(spark, tmp.toString, audit)
+          .map { case (tab, df) => tab -> df.localCheckpoint(true) }
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        fetched.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
     } else workbookDir(spark, path, audit)
 
   /** S4: drop rows whose `{tab}_id` is blank (CCDI per-tab filter). */

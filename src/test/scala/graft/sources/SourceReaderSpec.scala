@@ -79,6 +79,49 @@ class SourceReaderSpec extends SparkTestBase {
     assert(df.columns.contains(SourceReader.FileCol))
   }
 
+  test("S3 remote workbook: .xlsx over http is fetched, scanned, scratch cleaned") {
+    // the reference's file manager downloads remote workbooks before
+    // opening them (c3dc_file_manager.py:210-225); ZipFile needs a local
+    // seekable file, so an http:// workbook used to crash here
+    val xlsx = Files.createTempFile("remote_wb", ".xlsx")
+    graft.TestXlsx.write(xlsx, Seq(
+      "participant" -> Seq(
+        Seq("participant_id", "sex"), Seq("P1", "F"), Seq("P2", "M")),
+      "diagnosis" -> Seq(Seq("diagnosis_id", "code"), Seq("D1", "C71.9"))))
+    val bytes = Files.readAllBytes(xlsx)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/study.xlsx", exchange => {
+      exchange.sendResponseHeaders(200, bytes.length)
+      exchange.getResponseBody.write(bytes)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      def scratchDirs(): Set[String] = {
+        import scala.jdk.CollectionConverters._
+        Files.list(tmpRoot).iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(n => n.startsWith("graft_xlsx_") || n.startsWith("graft_wb_"))
+          .toSet
+      }
+      val before = scratchDirs()
+      val tabs = SourceReader.workbook(
+        spark, s"http://127.0.0.1:${server.getAddress.getPort}/study.xlsx")
+      assert(tabs.keySet == Set("participant", "diagnosis"))
+      // frames are materialized: usable AFTER the scratch csvs are gone
+      assert(scratchDirs() == before, "scratch not cleaned eagerly")
+      assert(tabs("participant").select("participant_id")
+        .collect().map(_.getString(0)).toSet == Set("P1", "P2"))
+      assert(tabs("diagnosis").select("code")
+        .collect().map(_.getString(0)).toSeq == Seq("C71.9"))
+    } finally {
+      server.stop(0)
+      Files.deleteIfExists(xlsx)
+    }
+  }
+
   test("C5 dropBlankRows: all-blank source rows removed, partial rows kept") {
     val d = tmpDir("c5")
     write(d, "x.csv", "a,b\n , \nv, \n,w\n")
