@@ -16,6 +16,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional args: query-name prefixes to time (default: all) — lets a
+    // perf investigation re-measure one suspect query without paying for
+    // the whole suite
+    val wanted: String => Boolean =
+      if (args.isEmpty) _ => true else n => args.exists(n.startsWith)
     val spark = GraftSession.local("graft-bench")
     spark.range(1000000).selectExpr("sum(id) s").collect()
     try { SparkEntry.entry(spark).count() } catch { case _: Throwable => () }
@@ -33,7 +38,7 @@ object Bench {
           -1.0
       }
     }
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered = SparkEntry.queries.toSeq.filter(q => wanted(q._1)).sortBy(_._1)
     ordered.foreach { case (name, fn) => timeOnce(name, fn) } // untimed warm-up pass
     // MEDIAN of 3 after the warm-up: most queries are sub-second, where
     // ~50ms of scheduler jitter is 15-25% of a single reading. The median
