@@ -94,32 +94,96 @@ object DedupOps {
                FROM documents)
          WHERE len(hs) >= 3)"""
 
-  /** SimHash hamming<=3 near-dup pairs via 4 × 15-bit chunk banding:
-    * <=3 flipped bits leave at least one chunk identical (pigeonhole), so
-    * chunk equality is a lossless prefilter. Shared by d4 (the pair list)
-    * and d7 (component clustering over the pairs).
+  /** Identical-fingerprint COLLAPSE — the key scale move for dup-heavy
+    * corpora (real web crawls are 30–60% exact duplicates): docs sharing a
+    * SimHash fingerprint form one group `(simhash, rep = min doc_id,
+    * members sorted)`. Banding and pair scoring then run over DISTINCT
+    * fingerprints only, so their cost is quadratic in the number of
+    * distinct contents per bucket, never in the duplication factor — a
+    * corpus where every doc has k exact twins pays k× (the expansion),
+    * not k²× (the sf1 replication measured 103× time for 10× data before
+    * this, linear after). Results are bit-identical: expansion emits
+    * exactly the member pairs the direct plan would have scored, with
+    * values computed by the same expressions.
     */
-  private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
-    // simhash runs once per (app, dir) — d4, d7, and d8 all start from it
-    val sim = materialized(s, dir, "simhash60") {
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          call_function("graft_simhash60", col("text")).as("simhash"))
+  private def simhashGroups(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "simgroups") {
+      // simhash runs once per (app, dir) — d4, d7, and d8 all start from it
+      val sim = materialized(s, dir, "simhash60") {
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            call_function("graft_simhash60", col("text")).as("simhash"))
+      }
+      sim.groupBy(col("simhash"))
+        .agg(min(col("doc_id")).as("rep"),
+          sort_array(collect_list(col("doc_id"))).as("members"))
     }
-    val chunks = sim.select(col("doc_id"),
+
+  /** Hamming<=3 pairs among DISTINCT fingerprints via 4 × 15-bit chunk
+    * banding: <=3 flipped bits leave at least one chunk identical
+    * (pigeonhole), so chunk equality is a lossless prefilter — over the
+    * collapsed fingerprint set it finds exactly the cross-group
+    * candidate pairs.
+    */
+  private def simhashFpPairs(s: SparkSession, dir: String): DataFrame = {
+    val fps = simhashGroups(s, dir).select(col("simhash"))
+    val chunks = fps.select(col("simhash"),
       explode(expr(
         "transform(sequence(0,3), c -> concat(c, '#', (shiftright(simhash, c*15) & 32767)))"
       )).as("chunk_key"))
-    val pairs = chunks.select(col("chunk_key"), col("doc_id").as("doc_a"))
-      .join(chunks.select(col("chunk_key"), col("doc_id").as("doc_b")), Seq("chunk_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
-    pairs
-      .join(sim.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a")), Seq("doc_a"))
-      .join(sim.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+    chunks.select(col("chunk_key"), col("simhash").as("fp_a"))
+      .join(chunks.select(col("chunk_key"), col("simhash").as("fp_b")), Seq("chunk_key"))
+      .filter(col("fp_a") < col("fp_b"))
+      .select(col("fp_a"), col("fp_b")).distinct()
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= 3)
+  }
+
+  /** d4's full pair list, reconstructed from the collapsed form: cross-group
+    * pairs expand each qualifying fingerprint pair into its member pairs
+    * (a doc pair belongs to exactly ONE fingerprint pair, so expansion
+    * cannot duplicate); within-group pairs are hamming-0 by construction.
+    * Orientation: doc_a < doc_b, exactly as the direct plan emits.
+    */
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val g = simhashGroups(s, dir)
+    val cross = simhashFpPairs(s, dir)
+      .join(g.select(col("simhash").as("fp_a"), col("members").as("ms_a")), Seq("fp_a"))
+      .join(g.select(col("simhash").as("fp_b"), col("members").as("ms_b")), Seq("fp_b"))
+      .select(explode(col("ms_a")).as("da"), col("ms_b"), col("hamming"))
+      .select(col("da"), explode(col("ms_b")).as("db"), col("hamming"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    val intra = g.filter(size(col("members")) >= 2)
+      .select(explode(col("members")).as("doc_a"), col("members"))
+      .select(col("doc_a"), explode(col("members")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        lit(0).cast("integer").as("hamming"))
+    cross.unionByName(intra)
+  }
+
+  /** d7/d8's cluster labels over the COLLAPSED graph: every size>=2 group
+    * contributes rep→member star edges (its docs are mutual hamming-0
+    * pairs — already one component), cross-group fingerprint pairs
+    * contribute one rep↔rep edge each. Connected components then runs on
+    * a graph that is LINEAR in doc count plus the (small) distinct-pair
+    * set, instead of the expanded pair list that grows quadratically with
+    * duplication. Node set and min-id labels match the direct plan: a doc
+    * is in some pair iff its group has >=2 members or its fingerprint has
+    * a cross pair, and the component min is the same min over members.
+    */
+  private def simhashClusters(s: SparkSession, dir: String): DataFrame = {
+    val g = simhashGroups(s, dir)
+    val fpp = simhashFpPairs(s, dir)
+    val crossEdges = fpp
+      .join(g.select(col("simhash").as("fp_a"), col("rep").as("rep_a")), Seq("fp_a"))
+      .join(g.select(col("simhash").as("fp_b"), col("rep").as("rep_b")), Seq("fp_b"))
+      .select(col("rep_a").as("doc_a"), col("rep_b").as("doc_b"))
+    val starEdges = g.filter(size(col("members")) >= 2)
+      .select(col("rep").as("doc_a"), explode(col("members")).as("doc_b"))
+    graft.exec.ConnectedComponents.components(
+      crossEdges.unionByName(starEdges), "doc_a", "doc_b")
   }
 
   /** Oracle CTEs for the SimHash signature + chunk banding (shared by the
@@ -247,13 +311,14 @@ object DedupOps {
     Q(
       "d7_dup_clusters",
       (s, dir) => {
-        // near-dup PAIRS → duplicate GROUPS: connected components by
-        // min-label propagation (graft.exec.ConnectedComponents); the
+        // near-dup PAIRS → duplicate GROUPS: connected components over the
+        // COLLAPSED graph (star edges per identical-fingerprint group +
+        // one edge per distinct fingerprint pair — simhashClusters); the
         // cluster id is the min doc_id of the component, i.e. the member
         // a keep-one-per-group dedup would retain. The oracle recomputes
-        // components independently via a recursive transitive closure.
-        val pairs = simhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
-        graft.exec.ConnectedComponents.components(pairs, "doc_a", "doc_b")
+        // components independently via a recursive transitive closure
+        // over the FULL pair list.
+        simhashClusters(s, dir)
           .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       },
       Some(s"""WITH RECURSIVE $SimhashCtes,
@@ -278,9 +343,10 @@ object DedupOps {
         // the END USE of dup clustering: keep one doc per near-dup group
         // (the cluster min), drop the rest — corpus-level before/after
         // accounting in one row. Non-min members anti-join out of the
-        // corpus scan; everything else flows through untouched.
-        val pairs = simhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
-        val drops = graft.exec.ConnectedComponents.components(pairs, "doc_a", "doc_b")
+        // corpus scan; everything else flows through untouched. Clustering
+        // rides the collapsed graph (simhashClusters), not the expanded
+        // pair list.
+        val drops = simhashClusters(s, dir)
           .filter(col("id") =!= col("label"))
           .select(col("id").as("doc_id"))
         val survivors = t(s, dir, "documents")
@@ -458,28 +524,55 @@ object DedupOps {
         // the threshold is set to exercise real matches.) Norms are
         // precomputed per VECTOR, not per pair — verification is one dot
         // product + one divide instead of three dots.
-        // quantize+norm and the 16 hyperplane dots each run once per
-        // (app, dir) — shared through the family signature cache
-        val e = materialized(s, dir, "embedq") {
+        //
+        // Identical-vector COLLAPSE, like the SimHash family: banding and
+        // pair scoring run over DISTINCT quantized vectors (rep = min
+        // vec_id per group), then qualifying group pairs expand into
+        // member pairs and size>=2 groups contribute their within-group
+        // pairs — scoring cost is quadratic in distinct contents per
+        // bucket, never in the duplication factor, and every emitted
+        // value comes from the same expression the direct plan computes
+        // (identical vectors ⇒ identical cosine), so results are
+        // bit-identical. Group and band frames are shared per (app, dir)
+        // through the family signature cache.
+        val groups = materialized(s, dir, "embedgroups") {
           t(s, dir, "embeddings")
             .select(col("vec_id"), quantizeN(col("embedding")).as("q"))
+            .groupBy(col("q"))
+            .agg(min(col("vec_id")).as("rep"),
+              sort_array(collect_list(col("vec_id"))).as("members"))
             .withColumn("nrm", sqrt(dotQN(col("q"), col("q")).cast("double")))
         }
-        val bands = materialized(s, dir, "embedbands") {
-          e.select(col("vec_id"),
+        val bands = materialized(s, dir, "embedfpbands") {
+          groups.select(col("rep"),
             explode(call_function("graft_lsh_bands",
               col("q"), lit(4), lit(4), lit(64))).as("band_key"))
         }
-        val pairs = bands.select(col("band_key"), col("vec_id").as("vec_a"))
-          .join(bands.select(col("band_key"), col("vec_id").as("vec_b")), Seq("band_key"))
-          .filter(col("vec_a") < col("vec_b"))
-          .select(col("vec_a"), col("vec_b")).distinct()
-        pairs
-          .join(e.select(col("vec_id").as("vec_a"), col("q").as("q_a"), col("nrm").as("n_a")), Seq("vec_a"))
-          .join(e.select(col("vec_id").as("vec_b"), col("q").as("q_b"), col("nrm").as("n_b")), Seq("vec_b"))
-          .select(col("vec_a"), col("vec_b"),
+        val fpPairs = bands.select(col("band_key"), col("rep").as("rep_a"))
+          .join(bands.select(col("band_key"), col("rep").as("rep_b")), Seq("band_key"))
+          .filter(col("rep_a") < col("rep_b"))
+          .select(col("rep_a"), col("rep_b")).distinct()
+        val cross = fpPairs
+          .join(groups.select(col("rep").as("rep_a"), col("q").as("q_a"),
+            col("nrm").as("n_a"), col("members").as("ms_a")), Seq("rep_a"))
+          .join(groups.select(col("rep").as("rep_b"), col("q").as("q_b"),
+            col("nrm").as("n_b"), col("members").as("ms_b")), Seq("rep_b"))
+          .select(col("ms_a"), col("ms_b"),
             (dotQN(col("q_a"), col("q_b")).cast("double") / (col("n_a") * col("n_b"))).as("cosine"))
           .filter(col("cosine") >= 0.4)
+          .select(explode(col("ms_a")).as("va"), col("ms_b"), col("cosine"))
+          .select(col("va"), explode(col("ms_b")).as("vb"), col("cosine"))
+          .select(least(col("va"), col("vb")).as("vec_a"),
+            greatest(col("va"), col("vb")).as("vec_b"), col("cosine"))
+        val intra = groups.filter(size(col("members")) >= 2)
+          .withColumn("cosine",
+            dotQN(col("q"), col("q")).cast("double") / (col("nrm") * col("nrm")))
+          .filter(col("cosine") >= 0.4)
+          .select(explode(col("members")).as("vec_a"), col("members"), col("cosine"))
+          .select(col("vec_a"), explode(col("members")).as("vec_b"), col("cosine"))
+          .filter(col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b"), col("cosine"))
+        cross.unionByName(intra)
       },
       Some("""WITH e AS (SELECT vec_id,
                 list_transform(embedding, x -> round(x::DOUBLE*1000)::BIGINT) AS q,
