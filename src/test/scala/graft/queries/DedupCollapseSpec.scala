@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.functions.VectorFunctions._
+
+/** The identical-content collapse in the SimHash / embedding dedup family
+  * must be invisible in the RESULTS: banding + scoring over distinct
+  * fingerprints with member expansion has to emit exactly the pairs and
+  * clusters the direct per-doc plan emits. These specs run the registry
+  * queries on a corpus with REAL exact duplicates (the sf0.001 tables
+  * replicated 3x via ScaleUp, so every content appears in 3 key-shifted
+  * copies) and compare against independent direct computations.
+  */
+class DedupCollapseSpec extends SparkTestBase {
+
+  private lazy val dupDir: String = {
+    val out = java.nio.file.Files.createTempDirectory("graft_dupcorpus_").toString
+    graft.ScaleUp.scale(spark, "/root/testdata/sf0.001", out, 3)
+    out
+  }
+
+  private def run(name: String) = Registry.byName(name).fn(spark, dupDir)
+
+  test("the replicated corpus actually contains 3-fold exact duplicates") {
+    val copies = run("d1_exact_dedup").agg(max(col("n_copies"))).head.getLong(0)
+    assert(copies >= 3, s"expected 3-fold duplicates, max n_copies=$copies")
+  }
+
+  test("d4 collapsed pair list == brute-force hamming<=3 pairs") {
+    // chunk banding is a LOSSLESS prefilter for hamming<=3 (pigeonhole:
+    // <=3 flipped bits leave one 15-bit chunk intact), so the all-pairs
+    // join IS the semantic reference for the whole banded+collapsed plan
+    val sim = Tables.t(spark, dupDir, "documents")
+      .select(col("doc_id"), call_function("graft_simhash60", col("text")).as("simhash"))
+    val brute = sim.alias("a").crossJoin(sim.alias("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+    assert(run("d4_simhash_pairs").exceptAll(brute).isEmpty &&
+      brute.exceptAll(run("d4_simhash_pairs")).isEmpty)
+  }
+
+  test("d6 collapsed pair list == direct per-vector banded plan") {
+    // embedding LSH banding is LOSSY (a true near-pair may share no band),
+    // so the reference is the direct plan: band every vector, join, score
+    val e = Tables.t(spark, dupDir, "embeddings")
+      .select(col("vec_id"), quantizeN(col("embedding")).as("q"))
+      .withColumn("nrm", sqrt(dotQN(col("q"), col("q")).cast("double")))
+    val bands = e.select(col("vec_id"),
+      explode(call_function("graft_lsh_bands", col("q"), lit(4), lit(4), lit(64))).as("band_key"))
+    val direct = bands.select(col("band_key"), col("vec_id").as("vec_a"))
+      .join(bands.select(col("band_key"), col("vec_id").as("vec_b")), Seq("band_key"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+      .join(e.select(col("vec_id").as("vec_a"), col("q").as("q_a"), col("nrm").as("n_a")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("q").as("q_b"), col("nrm").as("n_b")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (dotQN(col("q_a"), col("q_b")).cast("double") / (col("n_a") * col("n_b"))).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+    assert(run("d6_embed_neardup").exceptAll(direct).isEmpty &&
+      direct.exceptAll(run("d6_embed_neardup")).isEmpty)
+  }
+
+  test("d7 collapsed-graph clusters == components over the full pair list") {
+    val direct = graft.exec.ConnectedComponents
+      .components(run("d4_simhash_pairs"), "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    assert(run("d7_dup_clusters").exceptAll(direct).isEmpty &&
+      direct.exceptAll(run("d7_dup_clusters")).isEmpty)
+  }
+}
