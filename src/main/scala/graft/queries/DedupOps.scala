@@ -240,25 +240,54 @@ object DedupOps {
         // exact-Jaccard verification at 0.5. One shuffle for the band join,
         // one for pair distinct; signatures are narrow maps.
         // pair ids are distinct'd BEFORE verification: a pair sharing all 4
-        // bands would otherwise pay the exact-Jaccard cost 4 times
-        val sh = shingled(s, dir)
+        // bands would otherwise pay the exact-Jaccard cost 4 times.
+        //
+        // Identical-shingle-set COLLAPSE, like the SimHash/embedding
+        // families: docs with the same shingle SET have the same MinHash
+        // bands and the same Jaccard to everything, so banding + verify
+        // run over DISTINCT sets (rep = min doc_id) and qualifying rep
+        // pairs expand into member pairs, size>=2 groups emitting their
+        // jaccard-of-identical within-group pairs from the same
+        // expression. Without this the second measured decade (100
+        // identical copies per doc) went 29x for 10x data — in-bucket
+        // pair listing is quadratic in the duplication factor.
+        val groups = materialized(s, dir, "shgroups") {
+          shingled(s, dir)
+            .groupBy(col("sh"))
+            .agg(min(col("doc_id")).as("rep"),
+              sort_array(collect_list(col("doc_id"))).as("members"))
+        }
         // native codegen'd signature (graft.expressions.MinhashBands);
         // DedupFunctions.minhashBandKeys is the HOF spec
-        val bands = sh
-          .select(col("doc_id"),
+        val bands = groups
+          .select(col("rep"),
             explode(call_function("graft_minhash_bands",
               col("sh"), lit(12), lit(4), lit(3))).as("band_key"))
           .localCheckpoint(false) // signature hashing runs once, not per join side
-        val pairs = bands.select(col("band_key"), col("doc_id").as("doc_a"))
-          .join(bands.select(col("band_key"), col("doc_id").as("doc_b")), Seq("band_key"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b")).distinct()
-        pairs
-          .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-          .select(col("doc_a"), col("doc_b"),
+        val fpPairs = bands.select(col("band_key"), col("rep").as("rep_a"))
+          .join(bands.select(col("band_key"), col("rep").as("rep_b")), Seq("band_key"))
+          .filter(col("rep_a") < col("rep_b"))
+          .select(col("rep_a"), col("rep_b")).distinct()
+        val cross = fpPairs
+          .join(groups.select(col("rep").as("rep_a"), col("sh").as("sh_a"),
+            col("members").as("ms_a")), Seq("rep_a"))
+          .join(groups.select(col("rep").as("rep_b"), col("sh").as("sh_b"),
+            col("members").as("ms_b")), Seq("rep_b"))
+          .select(col("ms_a"), col("ms_b"),
             jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
           .filter(col("jaccard") >= 0.5)
+          .select(explode(col("ms_a")).as("da"), col("ms_b"), col("jaccard"))
+          .select(col("da"), explode(col("ms_b")).as("db"), col("jaccard"))
+          .select(least(col("da"), col("db")).as("doc_a"),
+            greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
+        val intra = groups.filter(size(col("members")) >= 2)
+          .withColumn("jaccard", jaccard(col("sh"), col("sh")))
+          .filter(col("jaccard") >= 0.5)
+          .select(explode(col("members")).as("doc_a"), col("members"), col("jaccard"))
+          .select(col("doc_a"), explode(col("members")).as("doc_b"), col("jaccard"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        cross.unionByName(intra)
       },
       Some(s"""WITH $ShingleCte,
               sig AS (SELECT doc_id, sh,

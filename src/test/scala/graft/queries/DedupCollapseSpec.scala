@@ -64,6 +64,31 @@ class DedupCollapseSpec extends SparkTestBase {
       direct.exceptAll(run("d6_embed_neardup")).isEmpty)
   }
 
+  test("d2 collapsed pair list == direct per-doc banded plan") {
+    // MinHash banding is lossy like the embedding LSH, so the reference is
+    // the direct plan: band every doc, join on band keys, verify Jaccard
+    val sh = Tables.t(spark, dupDir, "documents")
+      .select(col("doc_id"), call_function("graft_shingle_hashes", col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val bands = sh.select(col("doc_id"),
+      explode(call_function("graft_minhash_bands",
+        col("sh"), lit(12), lit(4), lit(3))).as("band_key"))
+    val jac = (a: String, b: String) => {
+      val inter = size(array_intersect(col(a), col(b)))
+      inter.cast("double") / (size(col(a)) + size(col(b)) - inter).cast("double")
+    }
+    val direct = bands.select(col("band_key"), col("doc_id").as("doc_a"))
+      .join(bands.select(col("band_key"), col("doc_id").as("doc_b")), Seq("band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), jac("sh_a", "sh_b").as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+    assert(run("d2_minhash_lsh").exceptAll(direct).isEmpty &&
+      direct.exceptAll(run("d2_minhash_lsh")).isEmpty)
+  }
+
   test("d7 collapsed-graph clusters == components over the full pair list") {
     val direct = graft.exec.ConnectedComponents
       .components(run("d4_simhash_pairs"), "doc_a", "doc_b")
