@@ -111,17 +111,26 @@ object JoinAggOps {
         // A4/A5: top-1-per-group with priority semantics (latest-survival /
         // primary-follow-up): any 'error' event wins with the EARLIEST ts,
         // else the LATEST event overall; event_id breaks ties.
+        //
+        // Shaped as min(struct(orderingKey..., payload...)) rather than a
+        // row_number window: struct comparison is lexicographic, so the
+        // minimum struct IS the top-1 row, and a hash aggregate partial-
+        // aggregates map-side — the shuffle carries one candidate per user
+        // per map partition instead of sorting every event (the window form
+        // went superlinear in the second measured decade, SCALE.md).
+        // event_id is unique, so the trailing payload fields never decide.
         val e = t(s, dir, "events")
         val prio = when(col("event_type") === "error", lit(0)).otherwise(lit(1))
         val tsOrd = when(prio === 0, unix_micros(col("ts")))
           .otherwise(-unix_micros(col("ts")))
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(prio, tsOrd, col("event_id"))
-        e.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
+        e.groupBy(col("user_id"))
+          .agg(min(struct(
+            prio.as("p"), tsOrd.as("o"), col("event_id"),
+            col("event_type"), col("ts"))).as("__top"))
           .select(
-            col("user_id"), col("event_id"), col("event_type"),
-            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"))
+            col("user_id"), col("__top.event_id").as("event_id"),
+            col("__top.event_type").as("event_type"),
+            date_format(col("__top.ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"))
       },
       Some("""SELECT user_id, event_id, event_type,
               strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
