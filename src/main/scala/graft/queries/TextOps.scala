@@ -245,20 +245,25 @@ object TextOps {
         // PIPELINE COMPOSITION: the filters a pretraining corpus pass runs
         // in sequence — language-id agreement with the label, a minimum
         // token count, exact-dup removal (keep the min doc_id per content
-        // fingerprint) — then per-source survivorship accounting. One
-        // narrow pass computes every per-doc signal; the dedup groupBy and
-        // the source rollup are the only shuffles.
-        val d = t(s, dir, "documents")
+        // fingerprint) — then per-source survivorship accounting. The
+        // keeper row per fingerprint is min(struct(doc_id, payload...)):
+        // doc_id is unique, so the struct minimum IS the min-doc_id row,
+        // and both shuffles map-side combine over narrow columns — no
+        // text leaves the scan, no semi-join back, and nothing pins to
+        // executor-local storage (an earlier localCheckpoint here was a
+        // lost-executor recompute hazard at cluster scale).
+        t(s, dir, "documents")
           .withColumn("n_toks", size(tokens(col("text"))))
           .withColumn("det", detectedLang(col("text")))
           .filter(col("det") === col("lang") && col("n_toks") >= 25)
-          .withColumn("fp", call_function("graft_content_fingerprint", col("text")))
-          .localCheckpoint(false) // consumed by keeper-agg AND final join
-        val keepers = d.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-        d.join(keepers, Seq("fp", "doc_id"), "left_semi")
-          .groupBy(col("source"))
+          .select(
+            call_function("graft_content_fingerprint", col("text")).as("fp"),
+            col("doc_id"), col("source"), col("n_toks"))
+          .groupBy(col("fp"))
+          .agg(min(struct(col("doc_id"), col("source"), col("n_toks"))).as("k"))
+          .groupBy(col("k.source").as("source"))
           .agg(count(lit(1)).as("n_docs"),
-            sum(col("n_toks").cast("long")).as("sum_tokens"))
+            sum(col("k.n_toks").cast("long")).as("sum_tokens"))
       },
       Some(s"""WITH q AS (
                 SELECT doc_id, source, lang, text,
