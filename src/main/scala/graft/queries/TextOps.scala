@@ -321,17 +321,26 @@ object TextOps {
         // PER-SOURCE QUALITY SELECTION: keep each source's top-5 docs by
         // a quality signal (vocabulary-diversity permille, ties by
         // doc_id) — the quota-curation op that builds a corpus mix from
-        // per-domain best-of. The window partitions by source, so at
-        // 100 TB each partition ranks independently after one shuffle;
-        // no global sort anywhere.
+        // per-domain best-of. Two-phase rank: a single window partitioned
+        // by source alone would create exactly one partition per source
+        // (20 here, constant at any corpus size — a guaranteed straggler
+        // on a wide cluster), so phase 1 ranks within (source, salt) and
+        // keeps each shard's top-5 — a superset of the answer, since a
+        // source-wide top-5 row is top-5 in its own shard — and phase 2
+        // re-ranks the <=32*5 survivors per source. Both sorts are small
+        // and fully parallel; output is identical to the one-window form.
         import org.apache.spark.sql.expressions.Window
         val toks = tokens(col("text"))
         val scored = t(s, dir, "documents").select(
           col("doc_id"), col("source"),
           permille(size(array_distinct(toks)), size(toks)).as("diversity_permille"))
-        val w = Window.partitionBy(col("source"))
-          .orderBy(col("diversity_permille").desc, col("doc_id"))
-        scored.withColumn("rank", row_number().over(w).cast("long"))
+        val ord = Seq(col("diversity_permille").desc, col("doc_id"))
+        val w1 = Window.partitionBy(col("source"), pmod(hash(col("doc_id")), lit(32)))
+          .orderBy(ord: _*)
+        val w = Window.partitionBy(col("source")).orderBy(ord: _*)
+        scored.withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= 5)
+          .drop("__r1")
+          .withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= 5)
       },
       Some("""WITH scored AS (SELECT doc_id, source,
