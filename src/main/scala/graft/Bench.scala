@@ -38,8 +38,16 @@ object Bench {
           -1.0
       }
     }
+    // SPARK_GRAFT_BENCH_REPS / _WARMUP override the 3-run-median +
+    // warm-up protocol for decade-scale runs (SCALE.md), where a single
+    // multi-second reading is already attributable and 4 passes of a
+    // 100x dataset would cost hours. Unset (the driver's per-round run)
+    // keeps the default protocol.
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
+    val warmup = sys.env.get("SPARK_GRAFT_BENCH_WARMUP").forall(_ != "0")
     val ordered = SparkEntry.queries.toSeq.filter(q => wanted(q._1)).sortBy(_._1)
-    ordered.foreach { case (name, fn) => timeOnce(name, fn) } // untimed warm-up pass
+    if (warmup)
+      ordered.foreach { case (name, fn) => timeOnce(name, fn) } // untimed warm-up pass
     // MEDIAN of 3 after the warm-up: most queries are sub-second, where
     // ~50ms of scheduler jitter is 15-25% of a single reading. The median
     // rejects the one outlier a GC pause injects without the min's bias
@@ -48,8 +56,8 @@ object Bench {
     // whole reading — a query that breaks intermittently must never
     // report a plausible time.
     val results = ordered.map { case (name, fn) =>
-      val runs = Seq.fill(3)(timeOnce(name, fn))
-      name -> (if (runs.contains(-1.0)) -1.0 else runs.sorted.apply(1))
+      val runs = Seq.fill(reps)(timeOnce(name, fn))
+      name -> (if (runs.contains(-1.0)) -1.0 else runs.sorted.apply(reps / 2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
