@@ -13,11 +13,19 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
+  /** Shuffle partition count — defaults to the core count for the driver's
+    * small-sf runs; decade-scale measurements raise it the way a cluster
+    * deployment would (partition size, not partition count, is what must
+    * stay bounded as data grows).
+    */
+  def shufflePartitions: String =
+    sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+
   def builder(appName: String): SparkSession.Builder =
     SparkSession.builder()
       .appName(appName)
       .withExtensions(new graft.expressions.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
