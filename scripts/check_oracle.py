@@ -40,6 +40,13 @@ def normcell(v):
 def main():
     out_dir = Path(sys.argv[1])
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    # optional extra args: query-name prefixes to check (mirrors Bench's
+    # filter) — decade-scale replays use this to run the oracles DuckDB can
+    # afford at that sf (its dedup pair expansion is quadratic where the
+    # engine's collapsed plans are linear)
+    prefixes = sys.argv[3:]
+    wanted = (lambda n: True) if not prefixes else (
+        lambda n: any(n.startswith(p) for p in prefixes))
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
 
     con = duckdb.connect()
@@ -47,38 +54,46 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     results = {}
+
+    # print-as-you-go (flushed): an hours-long decade-scale replay that
+    # dies mid-run still leaves its completed verdicts on disk
+    def record(name, verdict):
+        results[name] = verdict
+        print(f"RES {name}: {verdict}", flush=True)
+
     for qdir in sorted(p for p in out_dir.iterdir() if p.is_dir()):
         name = qdir.name
+        if not wanted(name):
+            continue
         try:
             rel = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
             got_cols = rel.columns
             got_rows = rel.fetchall()
         except Exception as e:
-            results[name] = f"READ-FAIL {e}"
+            record(name, f"READ-FAIL {e}")
             continue
         if name not in oracle:
-            results[name] = f"NO-ORACLE rows={len(got_rows)}"
+            record(name, f"NO-ORACLE rows={len(got_rows)}")
             continue
         try:
             orel = con.sql(oracle[name])
             exp_cols = orel.columns
             exp_rows = orel.fetchall()
         except Exception as e:
-            results[name] = f"ORACLE-FAIL {e}"
+            record(name, f"ORACLE-FAIL {e}")
             continue
         gc, gr = canon(got_rows, got_cols)
         ec, er = canon(exp_rows, exp_cols)
         if [c.lower() for c in gc] != [c.lower() for c in ec]:
-            results[name] = f"SCHEMA-MISMATCH got={gc} exp={ec}"
+            record(name, f"SCHEMA-MISMATCH got={gc} exp={ec}")
         elif gr != er:
             diffs = [
                 (i, a, b) for i, (a, b) in enumerate(zip(gr, er)) if a != b
             ][:3]
-            results[name] = (
-                f"VALUE-MISMATCH rows got={len(gr)} exp={len(er)} first_diffs={diffs}"
-            )
+            record(name,
+                f"VALUE-MISMATCH rows got={len(gr)} exp={len(er)} first_diffs={diffs}")
         else:
-            results[name] = f"PASS rows={len(gr)}"
+            record(name, f"PASS rows={len(gr)}")
 
     # NO-ORACLE with rows>0 is the driver's weaker rows-only check, not a
     # failure (SKILL contract: oracle-less ops are acceptable)
@@ -90,8 +105,6 @@ def main():
         return False
 
     nok = sum(1 for v in results.values() if ok(v))
-    for k in sorted(results):
-        print(f"{'OK ' if ok(results[k]) else 'BAD'} {k}: {results[k]}")
     print(f"\n{nok}/{len(results)} OK")
     sys.exit(0 if nok == len(results) else 1)
 
