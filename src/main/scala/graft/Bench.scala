@@ -1,4 +1,7 @@
 package graft
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every registry query at SPARK_GRAFT_SF_DIR and
@@ -14,6 +17,31 @@ import org.apache.spark.sql.SparkSession
   * amortizes to, and it keeps round-over-round deltas attributable.
   */
 object Bench {
+
+  /** Cumulative task-metric counters — snapshot deltas around a timed run
+    * give per-query shuffle and spill volume, the two numbers that say
+    * whether a wall-clock reading is compute or data movement. Listener
+    * delivery is asynchronous, so per-query attribution is approximate to
+    * the bus drain; good for diagnosis, which is why it's env-gated off
+    * for the driver's recorded runs.
+    */
+  private final class TaskVolumeListener extends SparkListener {
+    val shuffleWrite = new AtomicLong
+    val shuffleRead = new AtomicLong
+    val diskSpill = new AtomicLong
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        diskSpill.addAndGet(m.diskBytesSpilled)
+      }
+      ()
+    }
+    def snapshot: (Long, Long, Long) =
+      (shuffleWrite.get, shuffleRead.get, diskSpill.get)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // optional args: query-name prefixes to time (default: all) — lets a
@@ -24,13 +52,23 @@ object Bench {
     val spark = GraftSession.local("graft-bench")
     spark.range(1000000).selectExpr("sum(id) s").collect()
     try { SparkEntry.entry(spark).count() } catch { case _: Throwable => () }
+    // SPARK_GRAFT_BENCH_ACTION=noop drives each query through the noop
+    // sink instead of count(): count() lets Catalyst prune every column a
+    // query only projects (a narrow scan-and-score query times its scan,
+    // not its scoring expressions), while the noop sink evaluates every
+    // projected column and discards the rows. Default stays count() — the
+    // driver's recorded baselines are count()-actioned.
+    val noopAction = sys.env.get("SPARK_GRAFT_BENCH_ACTION").contains("noop")
+    def runPlan(df: org.apache.spark.sql.DataFrame): Unit =
+      if (noopAction) df.write.format("noop").mode("overwrite").save()
+      else df.count(): Unit
     // a failed query reports the -1.0 sentinel (and logs to stderr), never
     // a near-zero wall time — min() keeps the sentinel if either run broke
     def timeOnce(name: String,
         fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
+        runPlan(fn(spark, sfDir))
         (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>
@@ -55,14 +93,34 @@ object Bench {
     // code, not machine weather. A failed run (-1 sentinel) poisons the
     // whole reading — a query that breaks intermittently must never
     // report a plausible time.
+    // SPARK_GRAFT_BENCH_DETAIL=1 appends per-query shuffle/spill volume
+    // (bytes, summed over the query's reps) as a separate top-level JSON
+    // key — the driver's parser reads only metric/value/unit/queries/sf,
+    // and its recorded runs leave this off.
+    val detail = sys.env.get("SPARK_GRAFT_BENCH_DETAIL").contains("1")
+    val listener = new TaskVolumeListener
+    if (detail) spark.sparkContext.addSparkListener(listener)
+    val volumes = collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long)]
     val results = ordered.map { case (name, fn) =>
+      val before = if (detail) { Thread.sleep(200); listener.snapshot } else (0L, 0L, 0L)
       val runs = Seq.fill(reps)(timeOnce(name, fn))
+      if (detail) {
+        Thread.sleep(200) // let the listener bus drain (async delivery)
+        val after = listener.snapshot
+        volumes(name) =
+          (after._1 - before._1, after._2 - before._2, after._3 - before._3)
+      }
       name -> (if (runs.contains(-1.0)) -1.0 else runs.sorted.apply(reps / 2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val detailJson =
+      if (!detail) ""
+      else volumes.map { case (k, (w, r, sp)) =>
+        s""""$k":{"shuffle_write":$w,"shuffle_read":$r,"disk_spill":$sp}"""
+      }.mkString(""","detail":{""", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$detailJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
