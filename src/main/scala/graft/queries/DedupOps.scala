@@ -506,18 +506,24 @@ object DedupOps {
         // self-joins. n is the shingle-kernel parameter (real deployments
         // run 8–13; 3 here so the synthetic corpus exercises nonzero
         // overlap).
-        // bench universe + corpus probe share the distinct gram frame,
-        // materialized once per (app, dir) like the other signatures
-        val grams = materialized(s, dir, "grams3") {
-          t(s, dir, "documents")
+        // The eval and corpus sides PARTITION the documents (1/97 vs the
+        // rest), so each derives from its own filtered scan: every doc is
+        // shingled exactly once either way, and skipping a shared
+        // materialized frame avoids round-tripping ~n_docs×grams rows
+        // through block storage — at the third measured decade that frame
+        // was ~10^9 rows and the spill-to-disk cliff dominated the query
+        // (SCALE.md). The doc_id filter runs BEFORE the shingle kernel,
+        // so the second scan re-reads parquet bytes but re-shingles
+        // nothing.
+        def grams(docFilter: Column): DataFrame =
+          t(s, dir, "documents").filter(docFilter)
             .select(col("doc_id"),
               explode(call_function("graft_shingle_strings", col("text"), lit(3))).as("g_s"))
             .select(col("doc_id"), h60(col("g_s")).as("g"))
             .distinct()
-        }
-        val bench = grams.filter(col("doc_id") % 97 === 0)
+        val bench = grams(col("doc_id") % 97 === 0)
           .select(col("g")).distinct().withColumn("hit", lit(1))
-        val corpus = grams.filter(col("doc_id") % 97 =!= 0)
+        val corpus = grams(col("doc_id") % 97 =!= 0)
         corpus.join(broadcast(bench), Seq("g"), "left")
           .groupBy(col("doc_id"))
           .agg(
