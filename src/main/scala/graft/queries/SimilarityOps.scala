@@ -40,6 +40,26 @@ object SimilarityOps {
   private val CentSetSql = "vec_id >= 10 AND vec_id < 18"
   private val NProbe = 2
 
+  /** Exact top-k per query as a two-phase rank. A single window
+    * partitioned by query_id alone caps parallelism at the query-batch
+    * size and routes each query's ENTIRE candidate list through one task
+    * (corpus-sized for the brute-force path). Phase 1 ranks within
+    * (query_id, hash(vec_id)%64) shards — a query-wide top-k row is
+    * top-k within its own shard, so the shard winners are a superset of
+    * the answer — and phase 2 re-ranks the ≤64·k survivors per query.
+    * Output is identical to the one-window form (same total order).
+    */
+  private def topkPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val ord = Seq(col("cosine").desc, col("vec_id"))
+    val w1 = Window.partitionBy(col("query_id"), pmod(hash(col("vec_id")), lit(64)))
+      .orderBy(ord: _*)
+    val w = Window.partitionBy(col("query_id")).orderBy(ord: _*)
+    scored.withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= k)
+      .drop("__r1")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Exact brute-force cosine top-k (sim1; also sim4's ground truth). */
   private def bruteTopk(s: SparkSession, dir: String): DataFrame = {
     // norms are computed per VECTOR (narrow map before the join), not
@@ -55,10 +75,7 @@ object SimilarityOps {
       .select(col("query_id"), col("vec_id"),
         (dotQN(col("qq"), col("q")).cast("double") /
           (col("qn") * col("nrm"))).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
+    topkPerQuery(scored, K)
   }
 
   /** Banded hyperplane LSH top-k (sim2): score only bucket-mates. */
@@ -77,10 +94,7 @@ object SimilarityOps {
         (dotQN(col("qq"), col("q")).cast("double") /
           (col("qn") * col("nrm"))).as("cosine"))
       .distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
+    topkPerQuery(scored, K)
   }
 
   /** Nearest `keep` cells per vector by quantized cosine against a
@@ -120,10 +134,7 @@ object SimilarityOps {
         (dotQN(col("qq"), col("q")).cast("double") /
           (col("qn") * col("nrm"))).as("cosine"))
       .distinct() // a vector probed via both cells scores once
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
+    topkPerQuery(scored, K)
   }
 
   // ---- oracle SQL (composed into sim4's oracle as CTE bodies) ----------
@@ -304,10 +315,7 @@ object SimilarityOps {
             (dotQN(col("qq"), col("q")).cast("double") /
               (col("qn") * col("nrm"))).as("cosine"))
           .distinct()
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("vec_id"))
-        scored.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= K)
+        topkPerQuery(scored, K)
       },
       Some(Sim5Sql),
       doc = "ANN production path: k-means-trained IVF (train + assign + probe)"),
