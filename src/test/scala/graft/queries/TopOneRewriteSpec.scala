@@ -89,6 +89,27 @@ class TopOneRewriteSpec extends SparkTestBase {
     assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
   }
 
+  test("sim1 two-phase rank == single-window reference") {
+    // the shared topkPerQuery helper backs all four ANN paths; sim1's
+    // brute-force scoring recomputed inline with the original one-window
+    // rank is the semantic reference
+    import graft.functions.VectorFunctions._
+    val e = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), quantizeN(col("embedding")).as("q"))
+      .withColumn("nrm", sqrt(dotQN(col("q"), col("q")).cast("double")))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nrm").as("qn"))
+    val scored = e.filter(col("vec_id") >= 10).crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        (dotQN(col("qq"), col("q")).cast("double") /
+          (col("qn") * col("nrm"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val ref = scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+    val got = run("sim1_brute_topk")
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+  }
+
   test("tp1 plans no text column past the scan-side project") {
     // the rewrite's point at scale: only (fp, doc_id, source, n_toks)
     // reach the shuffle — the exchange input must not carry `text`
