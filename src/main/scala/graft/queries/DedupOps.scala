@@ -506,24 +506,17 @@ object DedupOps {
         // self-joins. n is the shingle-kernel parameter (real deployments
         // run 8–13; 3 here so the synthetic corpus exercises nonzero
         // overlap).
-        // The eval and corpus sides PARTITION the documents (1/97 vs the
-        // rest), so each derives from its own filtered scan: every doc is
-        // shingled exactly once either way, and skipping a shared
-        // materialized frame avoids round-tripping ~n_docs×grams rows
-        // through block storage — at the third measured decade that frame
-        // was ~10^9 rows and the spill-to-disk cliff dominated the query
-        // (SCALE.md). The doc_id filter runs BEFORE the shingle kernel,
-        // so the second scan re-reads parquet bytes but re-shingles
-        // nothing.
-        def grams(docFilter: Column): DataFrame =
-          t(s, dir, "documents").filter(docFilter)
-            .select(col("doc_id"),
-              explode(call_function("graft_shingle_strings", col("text"), lit(3))).as("g_s"))
-            .select(col("doc_id"), h60(col("g_s")).as("g"))
-            .distinct()
-        val bench = grams(col("doc_id") % 97 === 0)
+        // Rides the SAME family-cached shingle frame d2 and d5 consume
+        // (the kernel already emits the per-doc DISTINCT hashed 3-grams,
+        // so the eval and corpus sides are row-local filters over it —
+        // no private shingle pass, no global distinct shuffle). Three
+        // queries now amortize one signature build, which is the family
+        // cache's whole argument at 100 TB.
+        val grams = shingled(s, dir)
+          .select(col("doc_id"), explode(col("sh")).as("g"))
+        val bench = grams.filter(col("doc_id") % 97 === 0)
           .select(col("g")).distinct().withColumn("hit", lit(1))
-        val corpus = grams(col("doc_id") % 97 =!= 0)
+        val corpus = grams.filter(col("doc_id") % 97 =!= 0)
         corpus.join(broadcast(bench), Seq("g"), "left")
           .groupBy(col("doc_id"))
           .agg(
@@ -531,16 +524,9 @@ object DedupOps {
             count(col("hit")).as("n_overlap"),
             permille(count(col("hit")), count(lit(1))).as("overlap_permille"))
       },
-      Some("""WITH tok AS (
-                SELECT doc_id,
-                  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
-                FROM documents),
-              g AS (SELECT doc_id,
-                  list_distinct([ ('0x'||substr(md5(array_to_string(w[i:i+2], ' ')),1,15))::BIGINT
-                           for i in range(1, len(w) - 1) ]) AS gs
-                FROM tok WHERE len(w) >= 3),
-              bench AS (SELECT DISTINCT unnest(gs) AS g FROM g WHERE doc_id % 97 = 0),
-              corpus AS (SELECT doc_id, gs FROM g WHERE doc_id % 97 <> 0),
+      Some(s"""WITH $ShingleCte,
+              bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 97 = 0),
+              corpus AS (SELECT doc_id, sh AS gs FROM sh WHERE doc_id % 97 <> 0),
               ex AS (SELECT doc_id, unnest(gs) AS g FROM corpus),
               hit AS (SELECT doc_id, count(*) AS n_overlap
                       FROM ex JOIN bench USING (g) GROUP BY doc_id)
