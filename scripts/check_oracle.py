@@ -104,6 +104,11 @@ def main():
             return int(v.split("rows=")[1]) > 0
         return False
 
+    if not results:
+        # a typo'd prefix must not be indistinguishable from a passing gate
+        print(f"\nERROR: no query outputs matched under {out_dir}"
+              + (f" for prefixes {prefixes}" if prefixes else ""))
+        sys.exit(2)
     nok = sum(1 for v in results.values() if ok(v))
     print(f"\n{nok}/{len(results)} OK")
     sys.exit(0 if nok == len(results) else 1)

@@ -82,6 +82,7 @@ object Bench {
     // 100x dataset would cost hours. Unset (the driver's per-round run)
     // keeps the default protocol.
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     val warmup = sys.env.get("SPARK_GRAFT_BENCH_WARMUP").forall(_ != "0")
     val ordered = SparkEntry.queries.toSeq.filter(q => wanted(q._1)).sortBy(_._1)
     if (warmup)
@@ -110,7 +111,10 @@ object Bench {
         volumes(name) =
           (after._1 - before._1, after._2 - before._2, after._3 - before._3)
       }
-      name -> (if (runs.contains(-1.0)) -1.0 else runs.sorted.apply(reps / 2))
+      // (reps-1)/2 = exact median for odd reps, LOWER median for even —
+      // biasing even-rep readings toward the faster run is preferable to
+      // silently reporting the upper one
+      name -> (if (runs.contains(-1.0)) -1.0 else runs.sorted.apply((reps - 1) / 2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

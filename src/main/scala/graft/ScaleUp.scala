@@ -100,11 +100,13 @@ object ScaleUp {
   private def writeSingleFile(df: DataFrame, dest: String): Unit = {
     val tmp = dest + "_tmp"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = Files.list(Paths.get(tmp)).filter { p =>
-      val n = p.getFileName.toString
-      n.startsWith("part-") && n.endsWith(".parquet")
-    }.findFirst.orElseThrow(() =>
-      new IllegalStateException(s"no part file written under $tmp"))
+    val part = scala.util.Using.resource(Files.list(Paths.get(tmp))) { stream =>
+      stream.filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("part-") && n.endsWith(".parquet")
+      }.findFirst.orElseThrow(() =>
+        new IllegalStateException(s"no part file written under $tmp"))
+    }
     Files.move(part, Paths.get(dest), StandardCopyOption.REPLACE_EXISTING)
     // remove the scratch dir (success markers + crc files)
     Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())

@@ -1,0 +1,63 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+
+/** Normalized physical-plan fingerprints — the EXPLAIN-diff regression
+  * harness.
+  *
+  * `PlanAssertionsSpec` checks a handful of hand-picked scale properties
+  * (broadcasts kept, filters pushed, no cartesians); this module locks the
+  * WHOLE plan shape of every registry query instead: the executed plan's
+  * tree text, normalized to kill run-to-run noise (expression ids, plan
+  * ids, codegen stage ids, lambda identities, partition counts, data
+  * paths), is checked in under `src/test/resources/plans/` and diffed per
+  * round by `PlanRegressionSpec`. A refactor that silently reintroduces a
+  * window sort, loses a broadcast, or adds an exchange now fails a spec
+  * with a line diff instead of surviving until someone re-reads
+  * `.explain("formatted")`.
+  *
+  * What is normalized AWAY (allowed to drift):
+  *  - expression/plan/codegen/subquery ids, lambda object identities —
+  *    nondeterministic per JVM;
+  *  - partition COUNTS inside partitioning specs — a deployment knob
+  *    (`spark.sql.shuffle.partitions`), not a plan shape. `SinglePartition`
+  *    is NOT a count and survives normalization: collapsing to one
+  *    partition is exactly the regression this harness exists to catch;
+  *  - the scale-factor directory prefix — fingerprints are scale-blind in
+  *    the path but NOT in stats-driven choices, so they are pinned to one
+  *    generation sf (see `PlanRegressionSpec`).
+  *
+  * Everything else — operator tree, join strategies, exchange placement,
+  * pushed filters, read schemas, aggregate modes — is the fingerprint.
+  */
+object PlanFingerprint {
+
+  /** Fingerprint of a DataFrame's (pre-execution) physical plan. With AQE
+    * on this is the AdaptiveSparkPlan's initial plan — the statically
+    * chosen shape; runtime re-plans improve on it but never regress it.
+    */
+  def of(df: DataFrame, sfDir: String): String =
+    normalize(df.queryExecution.executedPlan.toString, sfDir)
+
+  def normalize(planText: String, sfDir: String): String =
+    planText.linesIterator.map { raw =>
+      raw
+        .replace(sfDir, "<SF>")
+        .replaceAll("#\\d+", "#x")
+        // higher-order-function variable names carry a JVM-global counter
+        // (`lambda x_17`), which drifts with suite execution order
+        .replaceAll("lambda ([A-Za-z]+)_\\d+#", "lambda $1_n#")
+        .replaceAll("plan_id=\\d+", "plan_id=x")
+        .replaceAll("\\*\\(\\d+\\)", "*") // whole-stage codegen stage ids
+        // partition counts in partitioning specs: `hashpartitioning(k#x, 32)`
+        // → `(k#x, N)`; reluctant match stops at the first `, <int>)` tail
+        .replaceAll("(hashpartitioning|rangepartitioning)\\((.*?), \\d+\\)", "$1($2, N)")
+        .replaceAll("RoundRobinPartitioning\\(\\d+\\)", "RoundRobinPartitioning(N)")
+        .replaceAll("REPARTITION_BY_NUM", "REPARTITION")
+        // serialized lambda identities (typed ops, mapGroupsWithState)
+        .replaceAll("\\$Lambda\\$[^,\\s)@]*", java.util.regex.Matcher.quoteReplacement("$Lambda"))
+        .replaceAll("@[0-9a-f]{6,}", "@x")
+        .replaceAll("Statistics\\([^)]*\\)", "Statistics(x)")
+        .replaceAll("\\s+$", "")
+    }.mkString("\n").trim + "\n"
+}

@@ -55,6 +55,19 @@ object DedupOps {
       df
     }
   }
+  /** Test hook: evict every signature frame cached for `s`, so a spec that
+    * fingerprints plan shapes (PlanRegressionSpec) starts from a known cold
+    * cache regardless of which suites ran before it in the shared JVM —
+    * a warm entry plans as `Scan ExistingRDD`, a cold one as the full
+    * signature build, and both are correct but fingerprint differently.
+    */
+  private[queries] def evictSigEntries(s: SparkSession): Unit =
+    sigCache.synchronized {
+      import scala.jdk.CollectionConverters._
+      val keys = sigCache.keySet.asScala.filter(_._1 eq s).toSeq
+      keys.foreach(sigCache.remove)
+    }
+
   /** Test hook: the (dir, kind) keys currently cached for `s`. */
   private[queries] def cachedSigEntries(s: SparkSession): Set[(String, String)] =
     sigCache.synchronized {
