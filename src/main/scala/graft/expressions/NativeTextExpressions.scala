@@ -3,7 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the text/dedup hot paths.
@@ -76,6 +76,25 @@ case class LangId(child: Expression) extends NativeTextExpression {
   override protected def withNewChildInternal(newChild: Expression): LangId =
     copy(child = newChild)
   override def prettyName: String = "graft_lang_id"
+}
+
+/** Per-document distinct-token multiplicities `array<struct<tok,m>>` (see
+  * `TextFunctions.tokenCounts`; entry order is first-occurrence here vs
+  * sorted there — consumers explode + re-aggregate, parity spec sorts).
+  */
+case class TokenCounts(child: Expression) extends NativeTextExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("tok", StringType, nullable = false),
+      StructField("m", LongType, nullable = false))),
+    containsNull = false)
+  override protected def kernelCall(c: String): String =
+    s"graft.expressions.TextKernels.tokenCounts($c)"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.tokenCounts(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): TokenCounts =
+    copy(child = newChild)
+  override def prettyName: String = "graft_token_counts"
 }
 
 /** n-gram shingle strings with multiplicity (see `TextFunctions.shingles`);

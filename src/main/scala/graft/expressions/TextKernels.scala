@@ -177,6 +177,39 @@ object TextKernels {
     langCodes(best)
   }
 
+  /** Per-document token multiplicities: one `(tok, m)` struct per DISTINCT
+    * token, first-occurrence order. Mirrors `TextFunctions.tokenCounts`
+    * (sorted-run-length over HOFs) up to entry order — consumers explode
+    * and re-aggregate, so order is immaterial; the parity spec compares
+    * sorted. Fusing tokenize+count into one JIT'd pass matters twice: the
+    * HOF form pays an interpreted `array_sort` + three lambda walks per
+    * row, and the pre-`tokenCounts` form shipped every token INSTANCE into
+    * a corpus-wide `(doc, tok)` hash aggregate (at sf10 that aggregate
+    * alone cost more than the rest of t7).
+    */
+  def tokenCounts(text: UTF8String): ArrayData = {
+    val toks = text.toString.split("\\s+")
+    val counts = new java.util.LinkedHashMap[String, Array[Long]](toks.length * 2)
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) {
+        val slot = counts.get(toks(i))
+        if (slot == null) counts.put(toks(i), Array(1L)) else slot(0) += 1L
+      }
+      i += 1
+    }
+    val out = new Array[AnyRef](counts.size)
+    val it = counts.entrySet().iterator()
+    i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(e.getKey), e.getValue()(0)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Word-n-gram strings with multiplicity (space-joined), document order;
     * fewer than n tokens → empty. Mirrors `TextFunctions.shingles` for any
     * n (3 for the MinHash family, 8 for span-level dedup).

@@ -19,6 +19,38 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= lit(""))
 
+  /** Per-row token multiplicities: `array<struct<tok,m>>` with one entry
+    * per DISTINCT token of `toks` and its in-row count. Sort + run-length
+    * over the sorted array — all codegen'd HOFs, no per-row hash map, no
+    * corpus-wide aggregation. This is the map-side shrink for
+    * token-instance pipelines (t7): exploding these pairs instead of raw
+    * tokens means the per-(doc, tok) aggregate that would otherwise hash
+    * every token INSTANCE never exists (at sf10 that aggregate alone cost
+    * more than the rest of the query).
+    *
+    * Indices: `b` holds the 0-based positions where a new run starts; run
+    * j spans [b[j], b[j+1]) with size(ts) closing the last run.
+    * `element_at` is 1-based, hence the +1/+2 shifts; the CASE guards the
+    * out-of-range lookup before it happens (ANSI mode errors on OOB).
+    */
+  def tokenCounts(toks: Column): Column =
+    DedupFunctions.let1(array_sort(toks)) { ts =>
+      DedupFunctions.let1(
+        // greatest(.., 0): sequence(0, -1) would go DESCENDING for an empty
+        // ts and the filter lambda would probe element_at(ts, 0) — the
+        // empty result is produced by the outer CASE instead
+        filter(sequence(lit(0), greatest(size(ts) - 1, lit(0))),
+          i => (i === 0) || (element_at(ts, i + 1) =!= element_at(ts, i)))) { b =>
+        when(size(ts) === 0, array().cast("array<struct<tok:string,m:bigint>>"))
+          .otherwise(
+            transform(sequence(lit(0), size(b) - 1), j =>
+              struct(
+                element_at(ts, element_at(b, j + 1) + 1).as("tok"),
+                (when(j === size(b) - 1, size(ts))
+                  .otherwise(element_at(b, j + 2)) - element_at(b, j + 1)).cast("long").as("m"))))
+      }
+    }
+
   /** Word n-gram shingles: array of n-token strings joined by single
     * spaces; fewer than n tokens → empty array (sequence() would go
     * DESCENDING for stop<start — must be guarded).

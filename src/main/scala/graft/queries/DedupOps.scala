@@ -66,6 +66,10 @@ object DedupOps {
       import scala.jdk.CollectionConverters._
       val keys = sigCache.keySet.asScala.filter(_._1 eq s).toSeq
       keys.foreach(sigCache.remove)
+      dupProbeCache.synchronized {
+        val probes = dupProbeCache.keySet.asScala.filter(_._1 eq s).toSeq
+        probes.foreach(dupProbeCache.remove)
+      }
     }
 
   /** Test hook: the (dir, kind) keys currently cached for `s`. */
@@ -75,6 +79,38 @@ object DedupOps {
       sigCache.keySet.asScala
         .collect { case (sess, dir, kind) if sess eq s => (dir, kind) }.toSet
     }
+
+  /** Duplicate-shingle-set probe for d2's ADAPTIVE collapse: the collapse
+    * build (groupBy full arrays + checkpoint) removes a quadratic term on
+    * dup-heavy corpora but is pure constant-factor overhead when every
+    * shingle set is unique (the driver's synthetic corpus; any corpus
+    * that already ran exact dedup). One cheap aggregate over the
+    * family-cached shingle frame decides: `count == countDistinct(hash)`
+    * proves all sets distinct (a hash collision can only UNDERCOUNT the
+    * distinct side, which flips the answer toward "has dups" — the safe,
+    * still-correct path). Cached per (session, dir) like the signature
+    * frames; the probe is one narrow pass over doc-count rows, amortized
+    * across runs.
+    */
+  private val dupProbeCache =
+    new java.util.LinkedHashMap[(SparkSession, String), Boolean](
+        MaxSigEntries * 2, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), Boolean]): Boolean =
+        size() > MaxSigEntries
+    }
+  private[queries] def hasDupShingleSets(s: SparkSession, dir: String): Boolean = {
+    val key = (s, dir)
+    dupProbeCache.synchronized(Option(dupProbeCache.get(key))) match {
+      case Some(v) => v
+      case None =>
+        val r = shingled(s, dir)
+          .agg(count(lit(1)), count_distinct(xxhash64(col("sh")))).head
+        val v = r.getLong(0) != r.getLong(1)
+        dupProbeCache.synchronized(dupProbeCache.put(key, v))
+        v
+    }
+  }
 
   /** Distinct word-3-gram shingle set per doc, HASHED to portable 60-bit
     * longs at shingling time (docs shorter than 3 tokens excluded — they
@@ -264,43 +300,69 @@ object DedupOps {
         // expression. Without this the second measured decade (100
         // identical copies per doc) went 29x for 10x data — in-bucket
         // pair listing is quadratic in the duplication factor.
-        val groups = materialized(s, dir, "shgroups") {
-          shingled(s, dir)
-            .groupBy(col("sh"))
-            .agg(min(col("doc_id")).as("rep"),
-              sort_array(collect_list(col("doc_id"))).as("members"))
+        //
+        // ADAPTIVE: the collapse build (array groupBy + checkpoint) is
+        // pure overhead when no two docs share a shingle set — there the
+        // collapse is the identity map (rep = doc_id, members = [doc_id],
+        // intra empty), so the probe routes dup-free corpora straight to
+        // per-doc banding. Both branches emit identical rows
+        // (DedupCollapseSpec pins both).
+        if (!hasDupShingleSets(s, dir)) {
+          val sh = shingled(s, dir)
+          val bands = sh
+            .select(col("doc_id"),
+              explode(call_function("graft_minhash_bands",
+                col("sh"), lit(12), lit(4), lit(3))).as("band_key"))
+            .localCheckpoint(false) // signature hashing runs once, not per join side
+          val pairs = bands.select(col("band_key"), col("doc_id").as("doc_a"))
+            .join(bands.select(col("band_key"), col("doc_id").as("doc_b")), Seq("band_key"))
+            .filter(col("doc_a") < col("doc_b"))
+            .select(col("doc_a"), col("doc_b")).distinct()
+          pairs
+            .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+            .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+            .select(col("doc_a"), col("doc_b"),
+              jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+            .filter(col("jaccard") >= 0.5)
+        } else {
+          val groups = materialized(s, dir, "shgroups") {
+            shingled(s, dir)
+              .groupBy(col("sh"))
+              .agg(min(col("doc_id")).as("rep"),
+                sort_array(collect_list(col("doc_id"))).as("members"))
+          }
+          // native codegen'd signature (graft.expressions.MinhashBands);
+          // DedupFunctions.minhashBandKeys is the HOF spec
+          val bands = groups
+            .select(col("rep"),
+              explode(call_function("graft_minhash_bands",
+                col("sh"), lit(12), lit(4), lit(3))).as("band_key"))
+            .localCheckpoint(false) // signature hashing runs once, not per join side
+          val fpPairs = bands.select(col("band_key"), col("rep").as("rep_a"))
+            .join(bands.select(col("band_key"), col("rep").as("rep_b")), Seq("band_key"))
+            .filter(col("rep_a") < col("rep_b"))
+            .select(col("rep_a"), col("rep_b")).distinct()
+          val cross = fpPairs
+            .join(groups.select(col("rep").as("rep_a"), col("sh").as("sh_a"),
+              col("members").as("ms_a")), Seq("rep_a"))
+            .join(groups.select(col("rep").as("rep_b"), col("sh").as("sh_b"),
+              col("members").as("ms_b")), Seq("rep_b"))
+            .select(col("ms_a"), col("ms_b"),
+              jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+            .filter(col("jaccard") >= 0.5)
+            .select(explode(col("ms_a")).as("da"), col("ms_b"), col("jaccard"))
+            .select(col("da"), explode(col("ms_b")).as("db"), col("jaccard"))
+            .select(least(col("da"), col("db")).as("doc_a"),
+              greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
+          val intra = groups.filter(size(col("members")) >= 2)
+            .withColumn("jaccard", jaccard(col("sh"), col("sh")))
+            .filter(col("jaccard") >= 0.5)
+            .select(explode(col("members")).as("doc_a"), col("members"), col("jaccard"))
+            .select(col("doc_a"), explode(col("members")).as("doc_b"), col("jaccard"))
+            .filter(col("doc_a") < col("doc_b"))
+            .select(col("doc_a"), col("doc_b"), col("jaccard"))
+          cross.unionByName(intra)
         }
-        // native codegen'd signature (graft.expressions.MinhashBands);
-        // DedupFunctions.minhashBandKeys is the HOF spec
-        val bands = groups
-          .select(col("rep"),
-            explode(call_function("graft_minhash_bands",
-              col("sh"), lit(12), lit(4), lit(3))).as("band_key"))
-          .localCheckpoint(false) // signature hashing runs once, not per join side
-        val fpPairs = bands.select(col("band_key"), col("rep").as("rep_a"))
-          .join(bands.select(col("band_key"), col("rep").as("rep_b")), Seq("band_key"))
-          .filter(col("rep_a") < col("rep_b"))
-          .select(col("rep_a"), col("rep_b")).distinct()
-        val cross = fpPairs
-          .join(groups.select(col("rep").as("rep_a"), col("sh").as("sh_a"),
-            col("members").as("ms_a")), Seq("rep_a"))
-          .join(groups.select(col("rep").as("rep_b"), col("sh").as("sh_b"),
-            col("members").as("ms_b")), Seq("rep_b"))
-          .select(col("ms_a"), col("ms_b"),
-            jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-          .filter(col("jaccard") >= 0.5)
-          .select(explode(col("ms_a")).as("da"), col("ms_b"), col("jaccard"))
-          .select(col("da"), explode(col("ms_b")).as("db"), col("jaccard"))
-          .select(least(col("da"), col("db")).as("doc_a"),
-            greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
-        val intra = groups.filter(size(col("members")) >= 2)
-          .withColumn("jaccard", jaccard(col("sh"), col("sh")))
-          .filter(col("jaccard") >= 0.5)
-          .select(explode(col("members")).as("doc_a"), col("members"), col("jaccard"))
-          .select(col("doc_a"), explode(col("members")).as("doc_b"), col("jaccard"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"), col("jaccard"))
-        cross.unionByName(intra)
       },
       Some(s"""WITH $ShingleCte,
               sig AS (SELECT doc_id, sh,

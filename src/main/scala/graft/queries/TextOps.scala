@@ -202,30 +202,57 @@ object TextOps {
         // score high. SCALE SHAPE: at 100 TB of web text the distinct-token
         // table is itself billions of rows (typos, URLs, numbers), so the
         // rank must NOT come from an unpartitioned Window (single-partition
-        // sort) and the vocab must NOT be broadcast. orderBy here is a
-        // RANGE-partitioned distributed sort; zipWithIndex then assigns the
-        // global position with one per-partition count pass whose counts —
-        // not rows — reach the scheduler. (n desc, tok) is a total order
-        // because tok is the group key, so position + 1 == dense_rank
-        // exactly. The rank join back onto the token stream is a plain
-        // shuffle join on tok; AQE is free to downgrade it to broadcast at
-        // small scale, but nothing forces that at large scale.
-        import org.apache.spark.sql.Row
-        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-        val toks = t(s, dir, "documents")
-          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        // sort) and the vocab must NOT be broadcast. orderBy is a
+        // RANGE-partitioned distributed sort — ties on n split across
+        // partitions by tok, so no bucket skew. (n desc, tok) is a total
+        // order because tok is the group key, so global position + 1 ==
+        // dense_rank exactly. The global position is assembled two-phase,
+        // entirely in DataFrame land (an earlier form dropped to
+        // rdd.zipWithIndex — right shape, but it exited codegen and
+        // re-encoded the whole vocab through Row objects):
+        // monotonically_increasing_id() after the sort encodes
+        // (partition << 33 | local row), so local position and partition
+        // come from each row's own id; per-partition COUNTS (one row per
+        // partition — cluster-bounded, never vocab-bounded) cumsum into
+        // partition offsets and broadcast-join back. Both consumers read
+        // the same range exchange (one vocab shuffle, reused); the rank
+        // join back onto the token stream is a plain shuffle join on tok;
+        // AQE is free to downgrade it to broadcast at small scale, but
+        // nothing forces that at large scale.
+        import org.apache.spark.sql.expressions.Window
+        // ONE tokenization pass, counted IN-ROW: graft_token_counts (a
+        // codegen'd kernel; TextFunctions.tokenCounts is its executable
+        // HOF spec) emits each doc's distinct (tok, m) pairs in a single
+        // JIT'd split+hash pass, so the per-(doc, tok) aggregate that
+        // would hash every token INSTANCE never exists (at sf10 that
+        // aggregate alone cost more than the rest of the query). The
+        // exploded pairs repartition by tok ONCE; both consumers (the
+        // vocab count and the score join) hang off that same exchange —
+        // the vocab groupBy finds its clustering already satisfied, the
+        // join side reads the reused stage — so the expensive
+        // scan+tokenize runs once.
+        val docTok = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(call_function("graft_token_counts", col("text"))).as("p"))
+          .select(col("doc_id"), col("p.tok").as("tok"), col("p.m").as("m"))
+          .repartition(col("tok"))
+        val sorted = docTok.groupBy(col("tok")).agg(sum(col("m")).as("n"))
           .orderBy(col("n").desc, col("tok"))
-        val ranked = s.createDataFrame(
-          freq.rdd.zipWithIndex.map { case (r, i) => Row(r.getString(0), i + 1L) },
-          StructType(Seq(
-            StructField("tok", StringType, nullable = false),
-            StructField("rank", LongType, nullable = false))))
-        toks.join(ranked, Seq("tok"))
+          .select(col("tok"), monotonically_increasing_id().as("mid"))
+          .select(col("tok"),
+            shiftright(col("mid"), 33).as("pid"),
+            col("mid").bitwiseAND(lit((1L << 33) - 1)).as("local"))
+        val offsets = sorted.groupBy(col("pid"))
+          .agg(count(lit(1)).as("pn"))
+          .select(col("pid"),
+            (sum(col("pn")).over(Window.orderBy(col("pid"))) - col("pn")).as("off"))
+        val ranked = sorted.join(broadcast(offsets), Seq("pid"))
+          .select(col("tok"), (col("off") + col("local") + 1L).as("rank"))
+        docTok.join(ranked, Seq("tok"))
           .groupBy(col("doc_id"))
           .agg(
-            count(lit(1)).as("n_tokens"),
-            permille(sum(col("rank")), count(lit(1))).as("mean_rank_permille"))
+            sum(col("m")).as("n_tokens"),
+            permille(sum(col("rank") * col("m")), sum(col("m"))).as("mean_rank_permille"))
       },
       Some("""WITH tok AS (
                 SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok

@@ -89,11 +89,27 @@ object FormPivotSink {
     * study-scale report output (the reference's pivoter is fully
     * in-memory petl for the same reason).
     */
+  /** Hard ceiling on subjects (= workbook rows per sheet) before
+    * [[writeWorkbook]] refuses to collect: past this the artifact is no
+    * longer a study-scale report and belongs in [[writeSheets]]. 2^20 is
+    * also XLSX's own row limit per sheet (ECMA-376 §18.3.1.73), so a
+    * workbook above it would be malformed anyway.
+    */
+  val MaxWorkbookRows: Long = 1L << 20
+
   def writeWorkbook(
       entries: DataFrame, outPath: String,
       subjectCol: String = "subject", formCol: String = "form",
       fieldCol: String = "field", valueCol: String = "value",
-      ordCol: String = "ord"): Unit = {
+      ordCol: String = "ord", maxRows: Long = MaxWorkbookRows): Unit = {
+    // LOUD driver-OOM guard: one metadata-cheap count before any collect —
+    // a distributed frame pointed here by mistake must fail with the
+    // remedy, not take down the driver
+    val subjects = entries.select(col(subjectCol)).distinct().count()
+    require(subjects <= maxRows,
+      s"writeWorkbook collects to the driver and the frame has $subjects subjects " +
+        s"(> $maxRows; the hard default is the XLSX per-sheet row limit) — " +
+        "use writeSheets for a distributed CSV-sheet pivot instead")
     val (pivoted, full) = pivotAll(entries, subjectCol, formCol, fieldCol, valueCol, ordCol)
     def grid(df: DataFrame): Seq[Seq[String]] = {
       val cols = df.columns.toIndexedSeq

@@ -59,6 +59,19 @@ class NativeTextExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("graft_token_counts matches the HOF tokenCounts spec as a sorted set") {
+    // entry order differs by design (first-occurrence vs sorted) — sort
+    // both; consumers explode + re-aggregate so order never reaches a query
+    val spec = docs
+      .select(array_sort(graft.functions.TextFunctions.tokenCounts(tokens(col("text")))).as("tc"))
+      .selectExpr("cast(tc as array<struct<tok:string,m:bigint>>)")
+      .as[Seq[(String, Long)]].collect()
+    val got = docs
+      .select(array_sort(call_function("graft_token_counts", col("text"))))
+      .as[Seq[(String, Long)]].collect()
+    assert(got.toSeq == spec.toSeq)
+  }
+
   test("graft_content_fingerprint matches the HOF contentFingerprint spec") {
     val mixed = docs.union(Seq("MiXeD CaSe  WORDS and\tÜmläuts ÉÉ").toDF("text"))
     val spec = mixed.select(graft.functions.TextFunctions.contentFingerprint(col("text")))
@@ -97,6 +110,14 @@ class NativeTextExpressionsSpec extends SparkTestBase {
     val sgGot = texts.select(call_function("graft_shingle_strings", col("text")))
       .as[Seq[String]].collect().toSeq
     assert(sgGot == sgSpec)
+
+    val tcSpec = texts
+      .select(array_sort(graft.functions.TextFunctions.tokenCounts(tokens(col("text")))).as("tc"))
+      .selectExpr("cast(tc as array<struct<tok:string,m:bigint>>)")
+      .as[Seq[(String, Long)]].collect().toSeq
+    val tcGot = texts.select(array_sort(call_function("graft_token_counts", col("text"))))
+      .as[Seq[(String, Long)]].collect().toSeq
+    assert(tcGot == tcSpec)
   }
 
   test("graft_lang_id matches the HOF detectedLang spec incl. marker overlap ties") {

@@ -89,6 +89,60 @@ class DedupCollapseSpec extends SparkTestBase {
       direct.exceptAll(run("d2_minhash_lsh")).isEmpty)
   }
 
+  test("d2 adaptive probe: dup-free at sf0.001, dup-heavy on the replicated corpus") {
+    assert(!DedupOps.hasDupShingleSets(spark, "/root/testdata/sf0.001"),
+      "sf0.001 unexpectedly has duplicate shingle sets — the fast-path " +
+        "equivalence test below would silently test the collapse path")
+    assert(DedupOps.hasDupShingleSets(spark, dupDir))
+  }
+
+  test("d2 fast path (dup-free corpus) == collapse-branch computation") {
+    // the probe routes sf0.001 to per-doc banding; recompute what the
+    // COLLAPSE branch would emit there and assert set equality, so the
+    // two branches can never drift apart on the corpus class where the
+    // fast path actually runs
+    val sf = "/root/testdata/sf0.001"
+    val sh = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), call_function("graft_shingle_hashes", col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val groups = sh.groupBy(col("sh"))
+      .agg(min(col("doc_id")).as("rep"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+    val bands = groups.select(col("rep"),
+      explode(call_function("graft_minhash_bands",
+        col("sh"), lit(12), lit(4), lit(3))).as("band_key"))
+    val fpPairs = bands.select(col("band_key"), col("rep").as("rep_a"))
+      .join(bands.select(col("band_key"), col("rep").as("rep_b")), Seq("band_key"))
+      .filter(col("rep_a") < col("rep_b"))
+      .select(col("rep_a"), col("rep_b")).distinct()
+    val jac = (a: String, b: String) => {
+      val inter = size(array_intersect(col(a), col(b)))
+      inter.cast("double") / (size(col(a)) + size(col(b)) - inter).cast("double")
+    }
+    val cross = fpPairs
+      .join(groups.select(col("rep").as("rep_a"), col("sh").as("sh_a"),
+        col("members").as("ms_a")), Seq("rep_a"))
+      .join(groups.select(col("rep").as("rep_b"), col("sh").as("sh_b"),
+        col("members").as("ms_b")), Seq("rep_b"))
+      .select(col("ms_a"), col("ms_b"), jac("sh_a", "sh_b").as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .select(explode(col("ms_a")).as("da"), col("ms_b"), col("jaccard"))
+      .select(col("da"), explode(col("ms_b")).as("db"), col("jaccard"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
+    val intra = groups.filter(size(col("members")) >= 2)
+      .withColumn("jaccard", jac("sh", "sh"))
+      .filter(col("jaccard") >= 0.5)
+      .select(explode(col("members")).as("doc_a"), col("members"), col("jaccard"))
+      .select(col("doc_a"), explode(col("members")).as("doc_b"), col("jaccard"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val collapseBranch = cross.unionByName(intra)
+    val fast = Registry.byName("d2_minhash_lsh").fn(spark, sf)
+    assert(fast.exceptAll(collapseBranch).isEmpty &&
+      collapseBranch.exceptAll(fast).isEmpty)
+  }
+
   test("d7 collapsed-graph clusters == components over the full pair list") {
     val direct = graft.exec.ConnectedComponents
       .components(run("d4_simhash_pairs"), "doc_a", "doc_b")

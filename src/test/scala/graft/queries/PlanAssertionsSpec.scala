@@ -143,15 +143,25 @@ class PlanAssertionsSpec extends SparkTestBase {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
-  test("t7_freq_rank_quality: no single-partition exchange, no forced broadcast") {
+  test("t7_freq_rank_quality: vocab never single-partitions; rank join not hint-forced") {
     // the vocabulary rank must come from a RANGE-partitioned sort — an
-    // `Exchange SinglePartition` here would be the 100 TB scale-killer
-    // (billions of distinct tokens through one sort partition), and the
-    // rank join must not be hint-forced to broadcast a vocab-sized side
+    // `Exchange SinglePartition` over vocab rows would be the 100 TB
+    // scale-killer (billions of distinct tokens through one partition).
+    // The two-phase rank's partition-offset cumsum is the ONE permitted
+    // single-partition stage, and only because its input is the per-
+    // partition COUNT aggregate: one row per shuffle partition,
+    // cluster-bounded, never vocab-bounded. Assert exactly that shape.
     val df = Registry.byName("t7_freq_rank_quality").fn(spark, sf)
     val p = df.queryExecution.executedPlan.toString
-    assert(!p.contains("Exchange SinglePartition"), p)
+    val lines = p.linesIterator.toVector
+    val singles = lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+    assert(singles.size == 1, p)
+    val below = lines.drop(singles.head._2 + 1).take(2)
+    assert(below.exists(l => l.contains("HashAggregate(keys=[pid")),
+      s"SinglePartition exchange does not sit above the per-pid count aggregate:\n${below.mkString("\n")}")
+    // exactly one broadcast hint — the P-row offsets table; the rank join
+    // back onto the token stream must stay shuffle-based (no vocab hint)
     val logical = df.queryExecution.analyzed.toString
-    assert(!logical.contains("ResolvedHint"), logical)
+    assert("ResolvedHint".r.findAllIn(logical).size == 1, logical)
   }
 }

@@ -39,6 +39,15 @@ class FormPivotSinkSpec extends SparkTestBase {
     assert(u2.getAs[String]("VISIT.status") == null) // left join keeps u2
   }
 
+  test("writeWorkbook refuses oversized frames loudly, naming the remedy") {
+    val out = Files.createTempDirectory("graft_formpivot_guard").resolve("wb.xlsx")
+    val e = intercept[IllegalArgumentException] {
+      FormPivotSink.writeWorkbook(entries, out.toString, maxRows = 1)
+    }
+    assert(e.getMessage.contains("writeSheets"), e.getMessage)
+    assert(!Files.exists(out), "guard must fire before any output is written")
+  }
+
   test("writeWorkbook round-trips through the native XLSX reader") {
     // K5's last gap: the sink emits a REAL workbook (full_width sheet
     // first, forms sorted — the reference's _ALL_FORMS_ layout) that
