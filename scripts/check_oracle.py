@@ -44,9 +44,17 @@ def main():
     # filter) — decade-scale replays use this to run the oracles DuckDB can
     # afford at that sf (its dedup pair expansion is quadratic where the
     # engine's collapsed plans are linear)
-    prefixes = sys.argv[3:]
-    wanted = (lambda n: True) if not prefixes else (
-        lambda n: any(n.startswith(p) for p in prefixes))
+    # a leading '!' EXCLUDES a prefix (e.g. `!d2 !d4` = everything except
+    # those) — the decade replay's way of skipping the six pair-dedup
+    # oracles DuckDB can't afford, without enumerating the other 60
+    raw = sys.argv[3:]
+    includes = [p for p in raw if not p.startswith("!")]
+    excludes = [p[1:] for p in raw if p.startswith("!")]
+    def wanted(n):
+        if any(n.startswith(p) for p in excludes):
+            return False
+        return not includes or any(n.startswith(p) for p in includes)
+    prefixes = raw
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
 
     con = duckdb.connect()

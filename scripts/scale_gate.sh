@@ -1,0 +1,68 @@
+#!/usr/bin/env bash
+# End-of-round decade gate: one command that (1) ensures the sf1/sf10/sf100
+# replicas exist (graft.ScaleUp key-shifted replication of the sf0.1 base),
+# (2) runs the full bench single-pass cold at sf100, and (3) replays the
+# DuckDB oracle at sf1 for the 60 non-pair queries (the six pair-dedup
+# oracles are hours-quadratic in DuckDB at sf1 — the ORACLE's cost, not the
+# engine's; those six stay covered by the sf0.01/sf0.1 gate plus
+# DedupCollapseSpec). Artifacts land in bench/ so decade regressions
+# surface per-round, not per-audit.
+#
+# Usage: scripts/scale_gate.sh [round-tag]      (default tag: date stamp)
+# Env:   SKIP_BUILD=1    don't (re)build missing replicas — fail instead
+#        SKIP_SF100=1    skip the sf100 bench pass
+#        SKIP_ORACLE=1   skip the sf1 oracle replay
+#
+# Times (32-core local[32]): replica build ~25 min all three, sf100 bench
+# ~30 min cold, sf1 verify+replay ~15 min.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+TAG="${1:-$(date +%Y%m%d)}"
+BASE=/root/testdata/sf0.1
+mkdir -p bench
+
+# --- 1. replicas (scale/ is outside sbt's clean blast radius) -------------
+for spec in sf1:10 sf10:100 sf100:1000; do
+  name="${spec%%:*}"; factor="${spec##*:}"
+  if [ -f "scale/$name/lineitem.parquet" ] || [ -d "scale/$name/lineitem.parquet" ]; then
+    echo "[scale_gate] scale/$name present, skipping build"
+  elif [ "${SKIP_BUILD:-0}" = "1" ]; then
+    echo "[scale_gate] ERROR: scale/$name missing and SKIP_BUILD=1" >&2
+    exit 1
+  else
+    echo "[scale_gate] building scale/$name (factor $factor from $BASE)"
+    SPARK_DRIVER_MEM=64g sbt -batch "runMain graft.ScaleUp $BASE scale/$name $factor"
+  fi
+done
+
+# --- 2. sf100 single-pass cold bench --------------------------------------
+if [ "${SKIP_SF100:-0}" != "1" ]; then
+  out="bench/sf100_cold_${TAG}.json"
+  echo "[scale_gate] sf100 single-pass cold bench -> $out"
+  SPARK_GRAFT_SF_DIR="$PWD/scale/sf100" \
+  SPARK_GRAFT_BENCH_REPS=1 SPARK_GRAFT_BENCH_WARMUP=0 SPARK_GRAFT_BENCH_DUAL=0 \
+  SPARK_DRIVER_MEM=64g SPARK_GRAFT_SHUFFLE_PARTITIONS=128 \
+    sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' > "$out"
+  python3 - "$out" <<'EOF'
+import json, sys
+d = json.load(open(sys.argv[1]))
+bad = sorted(k for k, v in d["queries"].items() if v < 0)
+print(f"[scale_gate] sf100 suite {d['value']:.0f}s over {len(d['queries'])} queries")
+if bad:
+    print(f"[scale_gate] ERROR: failed at sf100: {bad}"); sys.exit(1)
+EOF
+fi
+
+# --- 3. sf1 oracle replay (60 non-pair queries) ---------------------------
+if [ "${SKIP_ORACLE:-0}" != "1" ]; then
+  vout="/tmp/graft_scale_gate_sf1"
+  log="bench/oracle_sf1_60_${TAG}.log"
+  echo "[scale_gate] sf1 verify + oracle replay -> $log"
+  rm -rf "$vout"
+  sbt -batch "runMain graft.Verify $PWD/scale/sf1 $vout" 2>/dev/null | grep -E '\[verify\].*failed' || true
+  python3 -u scripts/check_oracle.py "$vout" "$PWD/scale/sf1" \
+    '!d2' '!d4' '!d5' '!d6' '!d7' '!d8' | tee "$log"
+fi
+
+echo "[scale_gate] done (tag $TAG)"
