@@ -85,9 +85,15 @@ object Bench {
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     val warmup = sys.env.get("SPARK_GRAFT_BENCH_WARMUP").forall(_ != "0")
+    val dual = !noopAction && sys.env.get("SPARK_GRAFT_BENCH_DUAL").forall(_ != "0")
     val ordered = SparkEntry.queries.toSeq.filter(q => wanted(q._1)).sortBy(_._1)
-    if (warmup)
+    if (warmup) {
       ordered.foreach { case (name, fn) => timeOnce(name, fn) } // untimed warm-up pass
+      // the noop physical plans differ from the count() ones (no aggregate
+      // collapse, every column evaluated) — warm them too when the dual
+      // pass will time them, so its single-rep readings are steady-state
+      if (dual) ordered.foreach { case (name, fn) => timeOnce(name, fn, noop = true) }
+    }
     // MEDIAN of 3 after the warm-up: most queries are sub-second, where
     // ~50ms of scheduler jitter is 15-25% of a single reading. The median
     // rejects the one outlier a GC pause injects without the min's bias
@@ -128,7 +134,6 @@ object Bench {
     // count()-comparable. SPARK_GRAFT_BENCH_DUAL=0 skips it (decade-scale
     // runs, where a second full pass costs real minutes), as does an
     // explicitly noop-actioned primary run.
-    val dual = !noopAction && sys.env.get("SPARK_GRAFT_BENCH_DUAL").forall(_ != "0")
     val noopResults =
       if (dual) ordered.map { case (name, fn) => name -> timeOnce(name, fn, noop = true) }
       else Seq.empty

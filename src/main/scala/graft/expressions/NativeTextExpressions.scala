@@ -97,6 +97,26 @@ case class TokenCounts(child: Expression) extends NativeTextExpression {
   override def prettyName: String = "graft_token_counts"
 }
 
+/** Per-document bigram repetition stats
+  * `struct<n_bigrams, n_distinct_bigrams, top_bigram_m>` (see
+  * `TextFunctions.repStats` — the Gopher-style repetition-filter
+  * signals, computed in one pass instead of a shingle array + two
+  * interpreted HOF reductions).
+  */
+case class RepStats(child: Expression) extends NativeTextExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("n_distinct_bigrams", LongType, nullable = false),
+    StructField("top_bigram_m", LongType, nullable = false)))
+  override protected def kernelCall(c: String): String =
+    s"graft.expressions.TextKernels.repStats($c)"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.repStats(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): RepStats =
+    copy(child = newChild)
+  override def prettyName: String = "graft_rep_stats"
+}
+
 /** n-gram shingle strings with multiplicity (see `TextFunctions.shingles`);
   * n is a plan-time constant baked into the generated code (3 = MinHash
   * family default, 8 = span-level dedup).

@@ -210,6 +210,30 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Per-document bigram repetition stats in ONE split+hash pass:
+    * `struct<n_bigrams, n_distinct_bigrams, top_bigram_m>` (all long).
+    * Mirrors `TextFunctions.repStats` (shingles(2) + tokenCounts over
+    * them); fewer than 2 tokens → (0, 0, 0). The per-row hash map is
+    * bounded by the document's own bigram count — nothing corpus-sized.
+    */
+  def repStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = text.toString.split("\\s+").filter(_.nonEmpty)
+    val n = if (toks.length < 2) 0 else toks.length - 1
+    val counts = new java.util.HashMap[String, Array[Long]](n * 2)
+    var top = 0L
+    var i = 0
+    while (i < n) {
+      val key = toks(i) + " " + toks(i + 1)
+      val slot = counts.get(key)
+      val c = if (slot == null) { counts.put(key, Array(1L)); 1L }
+              else { slot(0) += 1L; slot(0) }
+      if (c > top) top = c
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, counts.size.toLong, top))
+  }
+
   /** Word-n-gram strings with multiplicity (space-joined), document order;
     * fewer than n tokens → empty. Mirrors `TextFunctions.shingles` for any
     * n (3 for the MinHash family, 8 for span-level dedup).

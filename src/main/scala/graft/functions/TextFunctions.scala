@@ -61,6 +61,24 @@ object TextFunctions {
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
       .otherwise(typedlit(Seq.empty[String]))
 
+  /** Per-row bigram repetition stats
+    * `struct<n_bigrams, n_distinct_bigrams, top_bigram_m>` — the
+    * executable spec for the `graft_rep_stats` kernel (bit-parity
+    * asserted in NativeTextExpressionsSpec). Composes two existing
+    * spec'd HOFs: bigrams = `shingles(toks, 2)`, multiplicities =
+    * `tokenCounts(bigrams)` (generic over any string array); the top
+    * count is the max `m`. Fewer than 2 tokens → (0, 0, 0).
+    */
+  def repStats(toks: Column): Column =
+    DedupFunctions.let1(tokenCounts(shingles(toks, 2))) { tc =>
+      struct(
+        coalesce(aggregate(tc, lit(0L), (acc, e) => acc + e.getField("m")), lit(0L))
+          .as("n_bigrams"),
+        size(tc).cast("long").as("n_distinct_bigrams"),
+        coalesce(array_max(transform(tc, e => e.getField("m"))), lit(0L))
+          .as("top_bigram_m"))
+    }
+
   /** Distinct sorted shingles — the set used by Jaccard/MinHash. */
   def shingleSet(text: Column, n: Int): Column =
     array_sort(array_distinct(shingles(tokens(text), n)))

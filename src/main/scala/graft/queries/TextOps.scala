@@ -399,6 +399,48 @@ object TextOps {
                 FROM (SELECT list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
                       FROM documents))
               GROUP BY gram ORDER BY n DESC, gram LIMIT 20"""),
-      doc = "Text: corpus n-gram frequency with deterministic global top-k")
+      doc = "Text: corpus n-gram frequency with deterministic global top-k"),
+
+    Q(
+      "t9_repetition_signals",
+      (s, dir) => {
+        // REPETITION FILTERS (the Gopher-rules analogue for one-line web
+        // text): per-doc duplicate-bigram share and top-bigram share, the
+        // signals that catch boilerplate / keyword-stuffed / looping docs
+        // a perplexity filter wastes compute on. One codegen'd kernel call
+        // per row (graft_rep_stats — TextFunctions.repStats is the HOF
+        // spec) emits all three counts in a single split+hash pass; the
+        // query is a pure narrow projection, no shuffle at any scale.
+        // permille is NULL for docs with <2 tokens (no bigrams to judge).
+        val r = call_function("graft_rep_stats", col("text"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), r.as("r"))
+          .select(
+            col("doc_id"),
+            col("r.n_bigrams").as("n_bigrams"),
+            col("r.n_distinct_bigrams").as("n_distinct_bigrams"),
+            permille(col("r.n_bigrams") - col("r.n_distinct_bigrams"),
+              col("r.n_bigrams")).as("dup_bigram_permille"),
+            permille(col("r.top_bigram_m"), col("r.n_bigrams"))
+              .as("top_bigram_permille"))
+      },
+      Some("""WITH b AS (
+                SELECT doc_id,
+                  [ w[i] || ' ' || w[i+1] for i in range(1, greatest(len(w), 1)) ] AS bg
+                FROM (SELECT doc_id,
+                        list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+                      FROM documents))
+              SELECT doc_id,
+                len(bg)::BIGINT AS n_bigrams,
+                len(list_distinct(bg))::BIGINT AS n_distinct_bigrams,
+                CASE WHEN len(bg) = 0 THEN NULL
+                     ELSE ((len(bg) - len(list_distinct(bg))) * 1000 // len(bg))::BIGINT
+                END AS dup_bigram_permille,
+                CASE WHEN len(bg) = 0 THEN NULL
+                     ELSE (list_max(list_transform(list_distinct(bg),
+                             x -> len(list_filter(bg, y -> y = x)))) * 1000 // len(bg))::BIGINT
+                END AS top_bigram_permille
+              FROM b"""),
+      doc = "Text: Gopher-style per-doc repetition signals (dup/top bigram share)")
   )
 }

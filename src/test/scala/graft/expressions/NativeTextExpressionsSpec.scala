@@ -118,6 +118,33 @@ class NativeTextExpressionsSpec extends SparkTestBase {
     val tcGot = texts.select(array_sort(call_function("graft_token_counts", col("text"))))
       .as[Seq[(String, Long)]].collect().toSeq
     assert(tcGot == tcSpec)
+
+    val rsSpec = texts
+      .select(graft.functions.TextFunctions.repStats(tokens(col("text"))).as("r"))
+      .select(col("r.n_bigrams"), col("r.n_distinct_bigrams"), col("r.top_bigram_m"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val rsGot = texts.select(call_function("graft_rep_stats", col("text")).as("r"))
+      .select(col("r.n_bigrams"), col("r.n_distinct_bigrams"), col("r.top_bigram_m"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rsGot == rsSpec)
+  }
+
+  test("graft_rep_stats matches the HOF repStats spec plus hand-checked values") {
+    val spec = docs.select(graft.functions.TextFunctions.repStats(tokens(col("text"))).as("r"))
+      .select(col("r.n_bigrams"), col("r.n_distinct_bigrams"), col("r.top_bigram_m"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val got = docs.select(call_function("graft_rep_stats", col("text")).as("r"))
+      .select(col("r.n_bigrams"), col("r.n_distinct_bigrams"), col("r.top_bigram_m"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == spec)
+    val m = docs.select(col("text"), call_function("graft_rep_stats", col("text")).as("r"))
+      .select(col("text"), col("r.n_bigrams"), col("r.n_distinct_bigrams"), col("r.top_bigram_m"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(m("dup dup dup dup") == ((3L, 1L, 3L)))       // "dup dup" x3
+    assert(m("a b c a b c a b c") == ((8L, 3L, 3L)))     // "a b"x3 "b c"x3 "c a"x2
+    assert(m("") == ((0L, 0L, 0L)))
+    assert(m("single") == ((0L, 0L, 0L)))                // < 2 tokens
   }
 
   test("graft_lang_id matches the HOF detectedLang spec incl. marker overlap ties") {
