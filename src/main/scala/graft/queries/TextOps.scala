@@ -343,6 +343,76 @@ object TextOps {
       doc = "Sampling: stratified deterministic hash-gated corpus downsampling"),
 
     Q(
+      "tp3_mixture_budget",
+      (s, dir) => {
+        // MIXTURE-BUDGET CALIBRATION: given a per-source TOKEN budget (the
+        // mixture weights of a pretraining data recipe), find the quality
+        // threshold that fills it — keep each source's highest-scoring
+        // docs, whole score-bands at a time, while the running token sum
+        // stays within budget; report the cutoff score and the achieved
+        // (docs, tokens) vs the source's totals. Band granularity (the
+        // score is an integer permille) is what makes this exact AND
+        // scale-free: the only corpus-size-dependent op is one map-side-
+        // combined aggregate to (source, score) — everything downstream
+        // (cumulative window, budget gate) runs on a frame bounded by
+        // sources x 1001 REGARDLESS of corpus size, so the 100 TB plan is
+        // one histogram shuffle plus arithmetic on a few thousand rows.
+        // No doc-level rank, no per-source sort of documents, no join:
+        // totals ride a whole-partition window over the same tiny frame
+        // and the budget gate folds into the final aggregate.
+        import org.apache.spark.sql.expressions.Window
+        val toks = tokens(col("text"))
+        val hist = t(s, dir, "documents")
+          .select(col("source"),
+            permille(size(array_distinct(toks)), size(toks)).as("score"),
+            size(toks).cast("long").as("n_toks"))
+          .groupBy(col("source"), col("score"))
+          .agg(count(lit(1)).as("n"), sum(col("n_toks")).as("tok"))
+        val run = Window.partitionBy(col("source")).orderBy(col("score").desc)
+        val all = Window.partitionBy(col("source"))
+        val cum = hist.select(col("source"), col("score"),
+          sum(col("n")).over(run).as("cum_n"),
+          sum(col("tok")).over(run).as("cum_tok"),
+          sum(col("n")).over(all).as("total_docs"),
+          sum(col("tok")).over(all).as("total_tokens"),
+          element_at(typedlit(Seq(800L, 400L, 200L, 100L)),
+            substring(col("source"), 4, 10).cast("int") % 4 + 1)
+            .as("budget_tokens"))
+        val fits = col("cum_tok") <= col("budget_tokens")
+        cum.groupBy(col("source"), col("budget_tokens"),
+            col("total_docs"), col("total_tokens"))
+          .agg(
+            min(when(fits, col("score"))).as("threshold_score"),
+            coalesce(max(when(fits, col("cum_n"))), lit(0L)).as("kept_docs"),
+            coalesce(max(when(fits, col("cum_tok"))), lit(0L)).as("kept_tokens"))
+          .select(col("source"), col("budget_tokens"), col("threshold_score"),
+            col("kept_docs"), col("kept_tokens"),
+            col("total_docs"), col("total_tokens"))
+      },
+      Some("""WITH scored AS (SELECT source,
+                (len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) * 1000
+                 // len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')))::BIGINT AS score,
+                len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::BIGINT AS n_toks
+              FROM documents),
+              hist AS (SELECT source, score, count(*)::BIGINT AS n, sum(n_toks)::BIGINT AS tok
+                       FROM scored GROUP BY source, score),
+              cum AS (SELECT source, score,
+                sum(n)   OVER (PARTITION BY source ORDER BY score DESC) AS cum_n,
+                sum(tok) OVER (PARTITION BY source ORDER BY score DESC) AS cum_tok,
+                sum(n)   OVER (PARTITION BY source) AS total_docs,
+                sum(tok) OVER (PARTITION BY source) AS total_tokens,
+                ([800,400,200,100])[(substr(source, 4)::INT % 4) + 1]::BIGINT AS budget_tokens
+              FROM hist)
+              SELECT source, budget_tokens,
+                min(CASE WHEN cum_tok <= budget_tokens THEN score END)::BIGINT AS threshold_score,
+                coalesce(max(CASE WHEN cum_tok <= budget_tokens THEN cum_n END), 0)::BIGINT AS kept_docs,
+                coalesce(max(CASE WHEN cum_tok <= budget_tokens THEN cum_tok END), 0)::BIGINT AS kept_tokens,
+                total_docs::BIGINT AS total_docs, total_tokens::BIGINT AS total_tokens
+              FROM cum
+              GROUP BY source, budget_tokens, total_docs, total_tokens"""),
+      doc = "Mixture: per-source token-budget quality-threshold calibration"),
+
+    Q(
       "t8_quality_topk",
       (s, dir) => {
         // PER-SOURCE QUALITY SELECTION: keep each source's top-5 docs by
