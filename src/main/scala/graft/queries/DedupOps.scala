@@ -687,6 +687,52 @@ object DedupOps {
               FROM bands a JOIN bands b USING (band_key)
               WHERE a.vec_id < b.vec_id
               AND list_dot_product(a.q, b.q) / (a.nrm * b.nrm) >= 0.4"""),
-      doc = "Dedup: embedding-cosine near-dup via banded hyperplane LSH")
+      doc = "Dedup: embedding-cosine near-dup via banded hyperplane LSH"),
+
+    Q(
+      "d11_incremental_dedup",
+      (s, dir) => {
+        // INCREMENTAL DEDUP: classify an INCOMING BATCH against an
+        // EXISTING CORPUS without re-scoring the corpus — the production
+        // shape for crawl snapshots, where re-deduping 100 TB per
+        // increment is a non-starter. Batch = every 10th doc (a
+        // deterministic stand-in for the new snapshot), corpus = the
+        // rest. Each batch doc is 'corpus_dup' (fingerprint already in
+        // the corpus), 'batch_dup' (an earlier batch doc — smaller
+        // doc_id — has the same fingerprint), or 'new'. The corpus
+        // contributes ONLY a distinct-fingerprint aggregate over a
+        // single pruned column (map-side combined; at 100 TB this is the
+        // persisted fingerprint index a deployment keeps bucketed on fp,
+        // making the increment's cost independent of corpus text);
+        // both joins and the first-seen aggregate share the fp shuffle
+        // domain, and the batch side is the small one throughout.
+        val fp = call_function("graft_content_fingerprint", col("text"))
+        val docs = t(s, dir, "documents").select(col("doc_id"), fp.as("fp"))
+        val batch = docs.filter(col("doc_id") % 10 === 0)
+        val corpusFps = docs.filter(col("doc_id") % 10 =!= 0)
+          .select(col("fp")).distinct().withColumn("in_corpus", lit(true))
+        val firstInBatch = batch.groupBy(col("fp"))
+          .agg(min(col("doc_id")).as("first_id"))
+        batch.join(corpusFps, Seq("fp"), "left")
+          .join(firstInBatch, Seq("fp"))
+          .select(col("doc_id"),
+            when(col("in_corpus"), lit("corpus_dup"))
+              .when(col("doc_id") =!= col("first_id"), lit("batch_dup"))
+              .otherwise(lit("new")).as("status"))
+      },
+      Some("""WITH f AS (SELECT doc_id,
+                md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''), ' ')) AS fp
+                FROM documents),
+              batch AS (SELECT * FROM f WHERE doc_id % 10 = 0),
+              corpus AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 <> 0),
+              first_seen AS (SELECT fp, min(doc_id) AS first_id FROM batch GROUP BY fp)
+              SELECT b.doc_id,
+                CASE WHEN c.fp IS NOT NULL THEN 'corpus_dup'
+                     WHEN b.doc_id <> fs.first_id THEN 'batch_dup'
+                     ELSE 'new' END AS status
+              FROM batch b
+              LEFT JOIN corpus c USING (fp)
+              JOIN first_seen fs USING (fp)"""),
+      doc = "Dedup: incremental batch-vs-corpus classification (corpus never re-scored)")
   )
 }
