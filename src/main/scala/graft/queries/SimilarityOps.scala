@@ -352,6 +352,92 @@ object SimilarityOps {
                 count(*) FILTER (WHERE EXISTS (SELECT 1 FROM ivf i
                   WHERE i.query_id = b.query_id AND i.vec_id = b.vec_id)) AS n_ivf
               FROM brute b GROUP BY b.query_id"""),
-      doc = "ANN quality: per-query recall@k of LSH and IVF vs exact truth")
+      doc = "ANN quality: per-query recall@k of LSH and IVF vs exact truth"),
+
+    Q(
+      "sim6_knn_graph",
+      (s, dir) => {
+        // k-NN GRAPH over LSH candidates (k=3): each vector's top-k
+        // nearest band-sharing neighbors by exact quantized cosine —
+        // the neighbor-list build that SemDeDup-style semantic dedup and
+        // embedding clustering start from. Rides d6's family-cached
+        // group/band frames (identical-vector collapse), and applies the
+        // collapse philosophy to RANKING: candidates are truncated to
+        // k+2 per group BEFORE member expansion. That bound is exact,
+        // not approximate — a source group's members all share one
+        // rep-level cosine and tie-break by vec_id, so a member's top-k
+        // can use at most k of them (k+1 with self, +1 slack), and the
+        // group-level top-(k+2) therefore contains every entry any
+        // member's top-k can reference. Expansion cost is members x
+        // (k+2): LINEAR in the duplication factor where the naive
+        // per-vector candidate join is quadratic. Both windows partition
+        // on high-cardinality keys (rep / vec_id), so no straggler
+        // partition at any scale; bucket-bounded candidate generation is
+        // d6's, unchanged.
+        val groups = DedupOps.materialized(s, dir, "embedgroups") {
+          t(s, dir, "embeddings")
+            .select(col("vec_id"), quantizeN(col("embedding")).as("q"))
+            .groupBy(col("q"))
+            .agg(min(col("vec_id")).as("rep"),
+              sort_array(collect_list(col("vec_id"))).as("members"))
+            .withColumn("nrm", sqrt(dotQN(col("q"), col("q")).cast("double")))
+        }
+        val bands = DedupOps.materialized(s, dir, "embedfpbands") {
+          groups.select(col("rep"),
+            explode(call_function("graft_lsh_bands",
+              col("q"), lit(4), lit(4), lit(64))).as("band_key"))
+        }
+        val kk = 3
+        val repPairs = bands.select(col("band_key"), col("rep").as("rep_a"))
+          .join(bands.select(col("band_key"), col("rep").as("rep_b")), Seq("band_key"))
+          .filter(col("rep_a") =!= col("rep_b"))
+          .select(col("rep_a"), col("rep_b")).distinct()
+        val cross = repPairs
+          .join(groups.select(col("rep").as("rep_a"), col("q").as("q_a"),
+            col("nrm").as("n_a")), Seq("rep_a"))
+          .join(groups.select(col("rep").as("rep_b"), col("q").as("q_b"),
+            col("nrm").as("n_b"), col("members").as("ms_b")), Seq("rep_b"))
+          .select(col("rep_a"), slice(col("ms_b"), 1, kk + 2).as("cand"),
+            (dotQN(col("q_a"), col("q_b")).cast("double") / (col("n_a") * col("n_b"))).as("cosine"))
+        val twins = groups.filter(size(col("members")) >= 2)
+          .select(col("rep").as("rep_a"), slice(col("members"), 1, kk + 2).as("cand"),
+            (dotQN(col("q"), col("q")).cast("double") / (col("nrm") * col("nrm"))).as("cosine"))
+        val wg = Window.partitionBy(col("rep_a"))
+          .orderBy(col("cosine").desc, col("cand_id"))
+        val groupTop = cross.unionByName(twins)
+          .select(col("rep_a"), explode(col("cand")).as("cand_id"), col("cosine"))
+          .withColumn("__gr", row_number().over(wg)).filter(col("__gr") <= kk + 2)
+          .drop("__gr")
+        val wv = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cosine").desc, col("cand_id"))
+        groups.select(col("rep").as("rep_a"), explode(col("members")).as("vec_id"))
+          .join(groupTop, Seq("rep_a"))
+          .filter(col("cand_id") =!= col("vec_id"))
+          .withColumn("rank", row_number().over(wv).cast("long"))
+          .filter(col("rank") <= kk)
+          .select(col("vec_id"), col("cand_id").as("neighbor_id"),
+            col("cosine"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id,
+                list_transform(embedding, x -> round(x::DOUBLE*1000)::BIGINT) AS q,
+                sqrt(list_dot_product(list_transform(embedding, x -> round(x::DOUBLE*1000)::BIGINT),
+                                      list_transform(embedding, x -> round(x::DOUBLE*1000)::BIGINT))) AS nrm
+                FROM embeddings),
+              bands AS (SELECT vec_id, q, nrm,
+                unnest([ b || '#' ||
+                  list_sum([ CASE WHEN list_dot_product(q,
+                      [ (('0x'||substr(md5((b*4+j)||'|'||d),1,15))::BIGINT % 2001) - 1000
+                        for d in range(0,64) ]) > 0
+                    THEN (1::BIGINT << j) ELSE 0 END for j in range(0,4) ])::BIGINT
+                  for b in range(0,4) ]) AS band_key FROM e),
+              cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                  list_dot_product(a.q, b.q) / (a.nrm * b.nrm) AS cosine
+                FROM bands a JOIN bands b USING (band_key)
+                WHERE a.vec_id <> b.vec_id)
+              SELECT vec_id, neighbor_id, cosine, rank::BIGINT AS rank FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
+                FROM cand)
+              WHERE rank <= 3"""),
+      doc = "ANN: per-vector top-k neighbor graph over LSH candidates (SemDeDup prep)")
   )
 }

@@ -150,4 +150,31 @@ class DedupCollapseSpec extends SparkTestBase {
     assert(run("d7_dup_clusters").exceptAll(direct).isEmpty &&
       direct.exceptAll(run("d7_dup_clusters")).isEmpty)
   }
+
+  test("sim6 group-truncated knn == direct per-vector ranked candidates") {
+    // the k+2 per-group truncation before member expansion must be
+    // invisible: on a corpus where every vector has 2 exact twins, each
+    // vector's top-3 is dominated by in-group ties, exercising both the
+    // self-exclusion slot and the tie-break ordering the bound relies on
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.t(spark, dupDir, "embeddings")
+      .select(col("vec_id"), quantizeN(col("embedding")).as("q"))
+      .withColumn("nrm", sqrt(dotQN(col("q"), col("q")).cast("double")))
+    val bands = e.select(col("vec_id"),
+      explode(call_function("graft_lsh_bands", col("q"), lit(4), lit(4), lit(64))).as("band_key"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    val direct = bands.select(col("band_key"), col("vec_id"))
+      .join(bands.select(col("band_key"), col("vec_id").as("neighbor_id")), Seq("band_key"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id")).distinct()
+      .join(e.select(col("vec_id"), col("q").as("q_a"), col("nrm").as("n_a")), Seq("vec_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("q").as("q_b"), col("nrm").as("n_b")),
+        Seq("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        (dotQN(col("q_a"), col("q_b")).cast("double") / (col("n_a") * col("n_b"))).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= 3)
+      .select(col("vec_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    assert(run("sim6_knn_graph").exceptAll(direct).isEmpty &&
+      direct.exceptAll(run("sim6_knn_graph")).isEmpty)
+  }
 }
