@@ -61,8 +61,12 @@ if [ "${SKIP_ORACLE:-0}" != "1" ]; then
   echo "[scale_gate] sf1 verify + oracle replay -> $log"
   rm -rf "$vout"
   sbt -batch "runMain graft.Verify $PWD/scale/sf1 $vout" 2>/dev/null | grep -E '\[verify\].*failed' || true
+  # sim6 joins the pair-family exclusions: its DuckDB oracle enumerates
+  # all band-sharing candidate pairs before ranking — quadratic in the
+  # duplication factor at sf>=1, the oracle's cost, not the engine's
+  # (DedupCollapseSpec asserts sim6 == the direct per-vector plan).
   python3 -u scripts/check_oracle.py "$vout" "$PWD/scale/sf1" \
-    '!d2' '!d4' '!d5' '!d6' '!d7' '!d8' | tee "$log"
+    '!d2' '!d4' '!d5' '!d6' '!d7' '!d8' '!sim6' | tee "$log"
 fi
 
 echo "[scale_gate] done (tag $TAG)"
