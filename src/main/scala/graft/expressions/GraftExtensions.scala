@@ -39,6 +39,7 @@ object GraftExtensions {
       if (es.length > 1) intArg(es(1), "graft_shingle_strings") else 3)),
     "graft_content_fingerprint" -> (es => ContentFingerprint(es.head)),
     "graft_token_counts" -> (es => TokenCounts(es.head)),
+    "graft_tok_stats" -> (es => TokStats(es.head)),
     "graft_rep_stats" -> (es => RepStats(es.head)),
     "graft_lang_id" -> (es => LangId(es.head)),
     "graft_quantize_milli" -> (es => QuantizeMilli(es.head)),

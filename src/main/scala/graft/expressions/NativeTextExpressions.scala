@@ -97,6 +97,24 @@ case class TokenCounts(child: Expression) extends NativeTextExpression {
   override def prettyName: String = "graft_token_counts"
 }
 
+/** Per-document token stats `struct<n_tokens, n_distinct_tokens>` in one
+  * split+hash pass (see `TextFunctions.tokStats` — the shared input of
+  * the diversity-permille quality score t8/tp3 rank on, without
+  * materializing a token array or evaluating split() once per signal).
+  */
+case class TokStats(child: Expression) extends NativeTextExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct_tokens", LongType, nullable = false)))
+  override protected def kernelCall(c: String): String =
+    s"graft.expressions.TextKernels.tokStats($c)"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.tokStats(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): TokStats =
+    copy(child = newChild)
+  override def prettyName: String = "graft_tok_stats"
+}
+
 /** Per-document bigram repetition stats
   * `struct<n_bigrams, n_distinct_bigrams, top_bigram_m>` (see
   * `TextFunctions.repStats` — the Gopher-style repetition-filter

@@ -234,6 +234,25 @@ object TextKernels {
       Array[Any](n.toLong, counts.size.toLong, top))
   }
 
+  /** Per-document token stats in ONE split+hash pass:
+    * `struct<n_tokens, n_distinct_tokens>` (both long). Mirrors
+    * `TextFunctions.tokStats` (size + array_distinct over the token
+    * array) without materializing the array; the per-row set is bounded
+    * by the document's own token count.
+    */
+  def tokStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = text.toString.split("\\s+")
+    val seen = new java.util.HashSet[String](toks.length * 2)
+    var n = 0L
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) { n += 1L; seen.add(toks(i)) }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, seen.size.toLong))
+  }
+
   /** Word-n-gram strings with multiplicity (space-joined), document order;
     * fewer than n tokens → empty. Mirrors `TextFunctions.shingles` for any
     * n (3 for the MinHash family, 8 for span-level dedup).

@@ -61,6 +61,17 @@ object TextFunctions {
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
       .otherwise(typedlit(Seq.empty[String]))
 
+  /** Per-row token stats `struct<n_tokens, n_distinct_tokens>` — the
+    * executable spec for the `graft_tok_stats` kernel (bit-parity
+    * asserted in NativeTextExpressionsSpec). The diversity-permille
+    * quality score t8/tp3 rank on is `permille(n_distinct_tokens,
+    * n_tokens)` over this struct.
+    */
+  def tokStats(toks: Column): Column =
+    struct(
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct_tokens"))
+
   /** Per-row bigram repetition stats
     * `struct<n_bigrams, n_distinct_bigrams, top_bigram_m>` — the
     * executable spec for the `graft_rep_stats` kernel (bit-parity

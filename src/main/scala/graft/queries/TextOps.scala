@@ -361,11 +361,12 @@ object TextOps {
         // totals ride a whole-partition window over the same tiny frame
         // and the budget gate folds into the final aggregate.
         import org.apache.spark.sql.expressions.Window
-        val toks = tokens(col("text"))
+        val st = call_function("graft_tok_stats", col("text"))
         val hist = t(s, dir, "documents")
           .select(col("source"),
-            permille(size(array_distinct(toks)), size(toks)).as("score"),
-            size(toks).cast("long").as("n_toks"))
+            permille(st.getField("n_distinct_tokens"), st.getField("n_tokens"))
+              .as("score"),
+            st.getField("n_tokens").as("n_toks"))
           .groupBy(col("source"), col("score"))
           .agg(count(lit(1)).as("n"), sum(col("n_toks")).as("tok"))
         val run = Window.partitionBy(col("source")).orderBy(col("score").desc)
@@ -427,10 +428,11 @@ object TextOps {
         // re-ranks the <=32*5 survivors per source. Both sorts are small
         // and fully parallel; output is identical to the one-window form.
         import org.apache.spark.sql.expressions.Window
-        val toks = tokens(col("text"))
+        val st = call_function("graft_tok_stats", col("text"))
         val scored = t(s, dir, "documents").select(
           col("doc_id"), col("source"),
-          permille(size(array_distinct(toks)), size(toks)).as("diversity_permille"))
+          permille(st.getField("n_distinct_tokens"), st.getField("n_tokens"))
+            .as("diversity_permille"))
         val ord = Seq(col("diversity_permille").desc, col("doc_id"))
         val w1 = Window.partitionBy(col("source"), pmod(hash(col("doc_id")), lit(32)))
           .orderBy(ord: _*)

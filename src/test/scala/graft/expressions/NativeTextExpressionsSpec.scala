@@ -127,6 +127,15 @@ class NativeTextExpressionsSpec extends SparkTestBase {
       .select(col("r.n_bigrams"), col("r.n_distinct_bigrams"), col("r.top_bigram_m"))
       .as[(Long, Long, Long)].collect().toSeq
     assert(rsGot == rsSpec)
+
+    val tsSpec = texts
+      .select(graft.functions.TextFunctions.tokStats(tokens(col("text"))).as("r"))
+      .select(col("r.n_tokens"), col("r.n_distinct_tokens"))
+      .as[(Long, Long)].collect().toSeq
+    val tsGot = texts.select(call_function("graft_tok_stats", col("text")).as("r"))
+      .select(col("r.n_tokens"), col("r.n_distinct_tokens"))
+      .as[(Long, Long)].collect().toSeq
+    assert(tsGot == tsSpec)
   }
 
   test("graft_rep_stats matches the HOF repStats spec plus hand-checked values") {
