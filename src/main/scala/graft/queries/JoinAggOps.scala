@@ -156,13 +156,17 @@ object JoinAggOps {
         // each row contributes ONE (key, best-possible-ord) pair: a row in
         // both extracts would contribute ords {1,2}, but under min() the 2
         // is redundant, so no explode and no row doubling — min per key
-        // over the single-ord rows is identical. The shuffle key is the
-        // 16-byte binary md5, not its 32-char hex form.
+        // over the single-ord rows is identical. The content key is the
+        // normalized content COLUMNS themselves (Deduper.contentKey
+        // rationale): hashing them first — the reference's dict-key idiom —
+        // buys nothing in a distributed group-by, costs a crypto digest
+        // per row (the r5 suite ceiling at sf100), and trades exactness
+        // for collision odds. Group-by on the raw triple is bytewise-exact
+        // and pure codegen.
         t(s, dir, "lineitem")
           .filter(col("l_quantity") > 10)
           .select(
-            unhex(md5(concat_ws("|",
-              col("l_orderkey"), col("l_linenumber"), col("l_quantity")))).as("__key"),
+            struct(col("l_orderkey"), col("l_linenumber"), col("l_quantity")).as("__key"),
             when(col("l_quantity") > 25, lit(1)).otherwise(lit(2)).as("__ord"))
           .groupBy(col("__key")).agg(min(col("__ord")).as("__won"))
           .groupBy(when(col("__won") === 1, lit("xform_a"))
@@ -173,8 +177,8 @@ object JoinAggOps {
                 SELECT *, 1 AS ord FROM lineitem WHERE l_quantity > 25
                 UNION ALL
                 SELECT *, 2 AS ord FROM lineitem WHERE l_quantity > 10),
-              k AS (SELECT md5(concat_ws('|', l_orderkey, l_linenumber, l_quantity)) AS key,
-                    min(ord) AS won FROM u GROUP BY 1)
+              k AS (SELECT l_orderkey, l_linenumber, l_quantity,
+                    min(ord) AS won FROM u GROUP BY 1, 2, 3)
               SELECT CASE WHEN won = 1 THEN 'xform_a' ELSE 'xform_b' END AS __src,
                      count(*) AS survivors FROM k GROUP BY 1"""),
       doc = "A7: first-occurrence-wins content-hash dedup across sources"),
