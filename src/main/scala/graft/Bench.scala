@@ -137,9 +137,26 @@ object Bench {
     val noopResults =
       if (dual) ordered.map { case (name, fn) => name -> timeOnce(name, fn, noop = true) }
       else Seq.empty
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // The driver snapshots only the last 2000 chars of stdout and parses the
+    // JSON line out of that window; sbt appends a ~75-char "[success]"
+    // trailer after it. Full-precision doubles put the full-suite line at
+    // ~2.6 KB, which is why every prior round's artifact carried
+    // "parsed": null — the line's head fell outside the window. So the
+    // stdout line is the COMPACT form: millisecond-rounded timings, short
+    // sf tag, and none of the optional payloads; if the suite grows enough
+    // that 3-decimal formatting would again crowd the window, drop to 2
+    // (10 ms resolution is still far below round-over-round noise).
+    // Full-precision timings plus the noop/detail payloads go to a sidecar
+    // file for the repo's own decade tooling.
+    def fmt(v: Double, dec: Int): String =
+      if (v == -1.0) "-1.0" else s"%.${dec}f".format(v)
+    def line(dec: Int): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
+    }
+    val compact = { val l3 = line(3); if (l3.length <= 1850) l3 else line(2) }
     val detailJson =
       if (!detail) ""
       else volumes.map { case (k, (w, r, sp)) =>
@@ -149,7 +166,19 @@ object Bench {
       if (noopResults.isEmpty) ""
       else noopResults.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString(""","noop_queries":{""", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$noopJson$detailJson,"sf":"$sfDir"}""")
+    val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull$noopJson$detailJson,"sf":"$sfDir"}"""
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/bench_last.json")
+    try {
+      val p = java.nio.file.Paths.get(sidecar)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, fullJson + "\n")
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
+    }
+    println(compact)
     spark.stop()
   }
 }

@@ -15,18 +15,28 @@ final case class Q(
 
 object Tables {
   import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-  import org.apache.spark.sql.types.LongType
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
-  /** Load one synthetic table (TESTDATA.md) from the scale-factor dir.
-    * Parquet TIMESTAMP(NANOS) columns arrive as epoch-nanos longs (see
-    * GraftSession's nanosAsLong) and are converted to microsecond
-    * timestamps here — same truncation DuckDB applies.
+  /** Load one synthetic table (TESTDATA.md) from the scale-factor dir,
+    * normalizing `events.ts` to a session-zoned TIMESTAMP regardless of how
+    * the generator annotated it. The driver has produced two variants:
+    * parquet TIMESTAMP(NANOS), which arrives as epoch-nanos long (see
+    * GraftSession's nanosAsLong) and is truncated to micros here — the same
+    * truncation DuckDB applies — and TIMESTAMP(MICROS, isAdjustedToUTC=
+    * false), which arrives as TIMESTAMP_NTZ. The NTZ form breaks
+    * instant-typed functions (`unix_micros` rejects NTZ), so it is cast to
+    * TIMESTAMP; the session timezone is pinned to UTC (GraftSession), which
+    * makes the cast value-preserving and keeps every downstream epoch
+    * extraction identical to DuckDB's naive reading of the same file.
     */
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 }
 
