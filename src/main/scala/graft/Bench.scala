@@ -109,7 +109,17 @@ object Bench {
     val listener = new TaskVolumeListener
     if (detail) spark.sparkContext.addSparkListener(listener)
     val volumes = collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long)]
+    // Inter-query hygiene: localCheckpoint blocks (ANN/CC/dedup frames)
+    // are only reclaimed when a JVM GC lets the ContextCleaner process its
+    // weak references — with a large heap, full GCs are rare, so dead
+    // checkpoint blocks from earlier queries accumulate in the shared
+    // local[N] BlockManager and late-alphabet queries time against a
+    // memory-pressured executor (t8 read 8x its isolated time in the r6
+    // suite run). An explicit GC between queries reclaims what is already
+    // garbage; each timed rep still pays its own checkpoint builds.
+    def reclaimDeadBlocks(): Unit = { System.gc(); Thread.sleep(50) }
     val results = ordered.map { case (name, fn) =>
+      reclaimDeadBlocks()
       val before = if (detail) { Thread.sleep(200); listener.snapshot } else (0L, 0L, 0L)
       val runs = Seq.fill(reps)(timeOnce(name, fn))
       if (detail) {
