@@ -513,6 +513,68 @@ object TextOps {
                              x -> len(list_filter(bg, y -> y = x)))) * 1000 // len(bg))::BIGINT
                 END AS top_bigram_permille
               FROM b"""),
-      doc = "Text: Gopher-style per-doc repetition signals (dup/top bigram share)")
+      doc = "Text: Gopher-style per-doc repetition signals (dup/top bigram share)"),
+
+    Q(
+      "t10_tfidf_topk",
+      (s, dir) => {
+        // TF-IDF TOP TERMS: each doc's k most characteristic terms under
+        // smoothed idf = ln((N+1)/(df+1)). The tf stage is the native
+        // per-doc counting kernel (term multiplicities computed IN-ROW, so
+        // the explode ships one row per DISTINCT term per doc, not per
+        // token instance); df re-aggregates the same expression (its
+        // partial aggregate collapses to distinct-terms-per-map-partition
+        // before the shuffle). The idf attach is a JOIN on term, not a
+        // count-over-term window: a window keyed on term would buffer
+        // every ("the", doc) row in ONE partition — unbounded skew — while
+        // the join degrades gracefully (small-corpus stats broadcast the
+        // df side, as this plan does at test scale; unbounded-vocab scale
+        // exceeds the threshold and falls back to a shuffle join whose hot
+        // terms are AQE skew-join work). The corpus size joins in as a
+        // broadcast 1-row frame from a zero-column footer scan (no driver
+        // action), and the top-k window partitions on doc_id — high
+        // cardinality, per-partition sort bounded by a doc's vocabulary,
+        // with Spark's WindowGroupLimit pruning to k rows per doc BEFORE
+        // the exchange.
+        // Ranking uses the raw double score; the REPORTED score is
+        // milli-rounded so the hash compare is integer-exact (ln is not
+        // required correctly rounded, so raw doubles could differ in the
+        // last ulp across engines).
+        import org.apache.spark.sql.expressions.Window
+        val kk = 3
+        val docs = t(s, dir, "documents")
+        val total = docs.agg(count(lit(1)).as("n_docs"))
+        val tf = docs
+          .select(col("doc_id"),
+            explode(call_function("graft_token_counts", col("text"))).as("p"))
+          .select(col("doc_id"), col("p.tok").as("term"), col("p.m").as("tf"))
+        val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))
+        tf.join(dfq, Seq("term"))
+          .crossJoin(broadcast(total))
+          .withColumn("score",
+            col("tf") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= kk)
+          .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+            round(col("score") * 1000).cast("long").as("score_milli"))
+      },
+      Some("""WITH tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                FROM (SELECT doc_id,
+                        unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS term
+                      FROM documents)
+                GROUP BY doc_id, term),
+              dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+              n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+              scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                  tf.tf * ln((n.n_docs + 1.0) / (dfq.df + 1.0)) AS score
+                FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n),
+              r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, term) AS rank FROM scored)
+              SELECT doc_id, rank::BIGINT AS rank, term, tf, df,
+                     round(score * 1000)::BIGINT AS score_milli
+              FROM r WHERE rank <= 3"""),
+      doc = "Text: per-doc top-k terms by smoothed tf-idf (kernel tf, shuffle-join idf)")
   )
 }
