@@ -180,7 +180,26 @@ object StreamBench {
       StreamResult("ws3_dedup", sec, st.nRows + st.nDupRows, emitted == st.nRows)
     }
 
-    Seq(ws1, ws2, ws3)
+    // ws4: stream-stream interval self-join — purchases attributed to the
+    // same user's clicks in the preceding hour. Inner-join rows emit
+    // eagerly (the watermark only bounds buffered state), and time-ordered
+    // arrival means a purchase finds its clicks already buffered; the raw
+    // columns pass through unaggregated, so the batch compare is bitwise.
+    val ws4 = {
+      val (out, ck) = dirs("ws4")
+      val attr = EventStreaming.clickAttribution(
+        EventStreaming.fileStream(spark, st.cleanDir, maxFilesPerTrigger),
+        "1 hour", st.delay)
+      val q = EventStreaming.startParquetSink(attr, out, ck)
+      val (_, sec) = timed(q.processAllAvailable())
+      q.stop()
+      val got = spark.read.parquet(out)
+      val want = EventStreaming.clickAttribution(events, "1 hour", st.delay)
+      val ok = got.except(want).isEmpty && want.except(got).isEmpty
+      StreamResult("ws4_interval_join", sec, st.nRows, ok)
+    }
+
+    Seq(ws1, ws2, ws3, ws4)
   }
 
   def main(args: Array[String]): Unit = {

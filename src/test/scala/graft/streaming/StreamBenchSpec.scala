@@ -14,12 +14,12 @@ class StreamBenchSpec extends SparkTestBase {
     val results = StreamBench.run(spark, "/root/testdata/sf0.001", nBuckets = 8,
       maxFilesPerTrigger = 2)
     assert(results.map(_.name) ==
-      Seq("ws1_windowed_agg", "ws2_sessionize", "ws3_dedup"))
+      Seq("ws1_windowed_agg", "ws2_sessionize", "ws3_dedup", "ws4_interval_join"))
     results.foreach { r =>
       assert(r.ok, s"${r.name}: stream output diverged from batch")
       assert(r.sec > 0 && r.rows > 0)
     }
     // the dup dir really carried more input than the clean dir
-    assert(results.last.rows > results.head.rows)
+    assert(results(2).rows > results.head.rows)
   }
 }
