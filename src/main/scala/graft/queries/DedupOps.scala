@@ -253,6 +253,80 @@ object DedupOps {
          unnest([ c || '#' || ((simhash >> (c*15)) & 32767) for c in range(0,4) ]) AS chunk_key
          FROM sim)"""
 
+  /** Distinct-quantized-vector groups (rep = min vec_id, sorted member
+    * roster, precomputed norm) — the embedding family's collapse frame,
+    * shared by d6/d12 (and sim6's identical build) via the family cache.
+    */
+  private def embedGroups(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "embedgroups") {
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), quantizeN(col("embedding")).as("q"))
+        .groupBy(col("q"))
+        .agg(min(col("vec_id")).as("rep"),
+          sort_array(collect_list(col("vec_id"))).as("members"))
+        .withColumn("nrm", sqrt(dotQN(col("q"), col("q")).cast("double")))
+    }
+
+  /** Hyperplane-LSH band keys per distinct vector (4 bands x 4 planes). */
+  private def embedBands(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "embedfpbands") {
+      embedGroups(s, dir).select(col("rep"),
+        explode(call_function("graft_lsh_bands",
+          col("q"), lit(4), lit(4), lit(64))).as("band_key"))
+    }
+
+  /** Embedding near-dup pair set at exact quantized cosine >= 0.4 —
+    * banded candidates scored per distinct vector, qualifying group pairs
+    * expanded to member pairs, size>=2 groups contributing within-group
+    * pairs (see d6's collapse rationale). Columns (vec_a < vec_b, cosine).
+    */
+  private def embedPairs(s: SparkSession, dir: String): DataFrame = {
+    val groups = embedGroups(s, dir)
+    val bands = embedBands(s, dir)
+    val fpPairs = bands.select(col("band_key"), col("rep").as("rep_a"))
+      .join(bands.select(col("band_key"), col("rep").as("rep_b")), Seq("band_key"))
+      .filter(col("rep_a") < col("rep_b"))
+      .select(col("rep_a"), col("rep_b")).distinct()
+    val cross = fpPairs
+      .join(groups.select(col("rep").as("rep_a"), col("q").as("q_a"),
+        col("nrm").as("n_a"), col("members").as("ms_a")), Seq("rep_a"))
+      .join(groups.select(col("rep").as("rep_b"), col("q").as("q_b"),
+        col("nrm").as("n_b"), col("members").as("ms_b")), Seq("rep_b"))
+      .select(col("ms_a"), col("ms_b"),
+        (dotQN(col("q_a"), col("q_b")).cast("double") / (col("n_a") * col("n_b"))).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .select(explode(col("ms_a")).as("va"), col("ms_b"), col("cosine"))
+      .select(col("va"), explode(col("ms_b")).as("vb"), col("cosine"))
+      .select(least(col("va"), col("vb")).as("vec_a"),
+        greatest(col("va"), col("vb")).as("vec_b"), col("cosine"))
+    val intra = groups.filter(size(col("members")) >= 2)
+      .withColumn("cosine",
+        dotQN(col("q"), col("q")).cast("double") / (col("nrm") * col("nrm")))
+      .filter(col("cosine") >= 0.4)
+      .select(explode(col("members")).as("vec_a"), col("members"), col("cosine"))
+      .select(col("vec_a"), explode(col("members")).as("vec_b"), col("cosine"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+    cross.unionByName(intra)
+  }
+
+  /** Oracle CTEs for the quantized-embedding hyperplane banding (shared
+    * by the d6 and d12 oracles).
+    */
+  private val EmbedCtes =
+    """e AS (SELECT vec_id,
+                list_transform(embedding, x -> round(x::DOUBLE*1000)::BIGINT) AS q,
+                sqrt(list_dot_product(list_transform(embedding, x -> round(x::DOUBLE*1000)::BIGINT),
+                                      list_transform(embedding, x -> round(x::DOUBLE*1000)::BIGINT))) AS nrm
+                FROM embeddings),
+              bands AS (SELECT vec_id, q, nrm,
+                unnest([ b || '#' ||
+                  list_sum([ CASE WHEN list_dot_product(q,
+                      [ (('0x'||substr(md5((b*4+j)||'|'||d),1,15))::BIGINT % 2001) - 1000
+                        for d in range(0,64) ]) > 0
+                    THEN (1::BIGINT << j) ELSE 0 END for j in range(0,4) ])::BIGINT
+                  for b in range(0,4) ]) AS band_key FROM e)"""
+
   private val SimhashPairSelect =
     """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          bit_count(xor(a.simhash, b.simhash)) AS hamming
@@ -631,63 +705,57 @@ object DedupOps {
         // (identical vectors ⇒ identical cosine), so results are
         // bit-identical. Group and band frames are shared per (app, dir)
         // through the family signature cache.
-        val groups = materialized(s, dir, "embedgroups") {
-          t(s, dir, "embeddings")
-            .select(col("vec_id"), quantizeN(col("embedding")).as("q"))
-            .groupBy(col("q"))
-            .agg(min(col("vec_id")).as("rep"),
-              sort_array(collect_list(col("vec_id"))).as("members"))
-            .withColumn("nrm", sqrt(dotQN(col("q"), col("q")).cast("double")))
-        }
-        val bands = materialized(s, dir, "embedfpbands") {
-          groups.select(col("rep"),
-            explode(call_function("graft_lsh_bands",
-              col("q"), lit(4), lit(4), lit(64))).as("band_key"))
-        }
-        val fpPairs = bands.select(col("band_key"), col("rep").as("rep_a"))
-          .join(bands.select(col("band_key"), col("rep").as("rep_b")), Seq("band_key"))
-          .filter(col("rep_a") < col("rep_b"))
-          .select(col("rep_a"), col("rep_b")).distinct()
-        val cross = fpPairs
-          .join(groups.select(col("rep").as("rep_a"), col("q").as("q_a"),
-            col("nrm").as("n_a"), col("members").as("ms_a")), Seq("rep_a"))
-          .join(groups.select(col("rep").as("rep_b"), col("q").as("q_b"),
-            col("nrm").as("n_b"), col("members").as("ms_b")), Seq("rep_b"))
-          .select(col("ms_a"), col("ms_b"),
-            (dotQN(col("q_a"), col("q_b")).cast("double") / (col("n_a") * col("n_b"))).as("cosine"))
-          .filter(col("cosine") >= 0.4)
-          .select(explode(col("ms_a")).as("va"), col("ms_b"), col("cosine"))
-          .select(col("va"), explode(col("ms_b")).as("vb"), col("cosine"))
-          .select(least(col("va"), col("vb")).as("vec_a"),
-            greatest(col("va"), col("vb")).as("vec_b"), col("cosine"))
-        val intra = groups.filter(size(col("members")) >= 2)
-          .withColumn("cosine",
-            dotQN(col("q"), col("q")).cast("double") / (col("nrm") * col("nrm")))
-          .filter(col("cosine") >= 0.4)
-          .select(explode(col("members")).as("vec_a"), col("members"), col("cosine"))
-          .select(col("vec_a"), explode(col("members")).as("vec_b"), col("cosine"))
-          .filter(col("vec_a") < col("vec_b"))
-          .select(col("vec_a"), col("vec_b"), col("cosine"))
-        cross.unionByName(intra)
+        embedPairs(s, dir)
       },
-      Some("""WITH e AS (SELECT vec_id,
-                list_transform(embedding, x -> round(x::DOUBLE*1000)::BIGINT) AS q,
-                sqrt(list_dot_product(list_transform(embedding, x -> round(x::DOUBLE*1000)::BIGINT),
-                                      list_transform(embedding, x -> round(x::DOUBLE*1000)::BIGINT))) AS nrm
-                FROM embeddings),
-              bands AS (SELECT vec_id, q, nrm,
-                unnest([ b || '#' ||
-                  list_sum([ CASE WHEN list_dot_product(q,
-                      [ (('0x'||substr(md5((b*4+j)||'|'||d),1,15))::BIGINT % 2001) - 1000
-                        for d in range(0,64) ]) > 0
-                    THEN (1::BIGINT << j) ELSE 0 END for j in range(0,4) ])::BIGINT
-                  for b in range(0,4) ]) AS band_key FROM e)
+      Some(s"""WITH $EmbedCtes
               SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
                 list_dot_product(a.q, b.q) / (a.nrm * b.nrm) AS cosine
               FROM bands a JOIN bands b USING (band_key)
               WHERE a.vec_id < b.vec_id
               AND list_dot_product(a.q, b.q) / (a.nrm * b.nrm) >= 0.4"""),
       doc = "Dedup: embedding-cosine near-dup via banded hyperplane LSH"),
+
+    Q(
+      "d12_semantic_keep_one",
+      (s, dir) => {
+        // SEMANTIC DEDUP (the SemDeDup pipeline shape): connected
+        // components over the embedding near-dup pair graph — d6's
+        // banded-LSH + exact-cosine pairs, shared through the family
+        // cache — with one keeper per semantic cluster (the component
+        // min). Clustering is the size-adaptive CC (driver union-find
+        // under 2^20 edges, O(log n) star contraction above, which
+        // THROWS on non-convergence rather than mislabel); output is one
+        // row per multi-member cluster with its sorted member roster —
+        // the drop-list a corpus reduction applies. Member ids surface
+        // as a ';'-joined string (J1/K3 report convention: the driver's
+        // compare can't hash array cells).
+        val labels = graft.exec.ConnectedComponents.components(
+          embedPairs(s, dir).select(col("vec_a"), col("vec_b")),
+          "vec_a", "vec_b")
+        labels.groupBy(col("label"))
+          .agg(count(lit(1)).as("n_members"),
+            array_join(sort_array(collect_list(col("id"))), ";").as("member_ids"))
+          .select(col("label").as("cluster_id"), col("n_members"),
+            col("member_ids"))
+      },
+      Some(s"""WITH RECURSIVE $EmbedCtes,
+              pairs AS (
+                SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                FROM bands a JOIN bands b USING (band_key)
+                WHERE a.vec_id < b.vec_id
+                AND list_dot_product(a.q, b.q) / (a.nrm * b.nrm) >= 0.4),
+              edges AS (SELECT vec_a AS s, vec_b AS d FROM pairs
+                        UNION SELECT vec_b, vec_a FROM pairs),
+              nodes AS (SELECT DISTINCT s AS id FROM edges),
+              reach(id, r) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+              clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+              SELECT cluster_id, count(*)::BIGINT AS n_members,
+                     string_agg(id::VARCHAR, ';' ORDER BY id) AS member_ids
+              FROM clusters GROUP BY cluster_id"""),
+      doc = "Dedup: SemDeDup-style semantic keep-one via CC over embedding near-dup pairs"),
 
     Q(
       "d11_incremental_dedup",
