@@ -65,8 +65,11 @@ if [ "${SKIP_ORACLE:-0}" != "1" ]; then
   # all band-sharing candidate pairs before ranking — quadratic in the
   # duplication factor at sf>=1, the oracle's cost, not the engine's
   # (DedupCollapseSpec asserts sim6 == the direct per-vector plan).
+  # d12 shares d6's banding CTE (16 md5-derived hyperplanes x 64 dims per
+  # vector in SQL) plus a recursive-CTE closure — same oracle-side cost,
+  # covered by the sf0.01/sf0.1 gate + DedupCollapseSpec's d12 test.
   python3 -u scripts/check_oracle.py "$vout" "$PWD/scale/sf1" \
-    '!d2' '!d4' '!d5' '!d6' '!d7' '!d8' '!sim6' | tee "$log"
+    '!d2' '!d4' '!d5' '!d6' '!d7' '!d8' '!d12' '!sim6' | tee "$log"
 fi
 
 echo "[scale_gate] done (tag $TAG)"

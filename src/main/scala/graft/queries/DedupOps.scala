@@ -719,19 +719,49 @@ object DedupOps {
       "d12_semantic_keep_one",
       (s, dir) => {
         // SEMANTIC DEDUP (the SemDeDup pipeline shape): connected
-        // components over the embedding near-dup pair graph — d6's
-        // banded-LSH + exact-cosine pairs, shared through the family
-        // cache — with one keeper per semantic cluster (the component
-        // min). Clustering is the size-adaptive CC (driver union-find
-        // under 2^20 edges, O(log n) star contraction above, which
-        // THROWS on non-convergence rather than mislabel); output is one
-        // row per multi-member cluster with its sorted member roster —
-        // the drop-list a corpus reduction applies. Member ids surface
-        // as a ';'-joined string (J1/K3 report convention: the driver's
+        // components over the embedding near-dup graph — d6's banded-LSH
+        // + exact-cosine qualification, shared through the family cache —
+        // with one keeper per semantic cluster (the component min).
+        // Clustering rides the COLLAPSED star graph, never the expanded
+        // member-pair list: qualified rep-level edges plus one rep→member
+        // star edge per duplicate (component-equivalent to CC over the
+        // expanded pairs — members reach their rep by star, reps reach
+        // each other by the qualified edge; identical vectors have
+        // self-cosine 1 ≥ τ, so a dup group always connects through its
+        // star unless its vector is zero, where every cosine involving
+        // it is NaN in both forms). Edge count is linear in the
+        // duplication factor where the expanded pair graph is quadratic
+        // — at sf100's 1000× replication that is the difference between
+        // ~500k and ~250M edges into CC. The CC itself is size-adaptive
+        // (driver union-find under 2^20 edges, O(log n) star contraction
+        // above, which THROWS on non-convergence rather than mislabel);
+        // output is one row per multi-member cluster with its sorted
+        // member roster — the drop-list a corpus reduction applies, as a
+        // ';'-joined string (J1/K3 report convention: the driver's
         // compare can't hash array cells).
+        val g = embedGroups(s, dir)
+        val bands = embedBands(s, dir)
+        // rep-level qualification: same scoring expression as d6's cross
+        // path, WITHOUT the member expansion
+        val fpPairs = bands.select(col("band_key"), col("rep").as("rep_a"))
+          .join(bands.select(col("band_key"), col("rep").as("rep_b")), Seq("band_key"))
+          .filter(col("rep_a") < col("rep_b"))
+          .select(col("rep_a"), col("rep_b")).distinct()
+        val crossEdges = fpPairs
+          .join(g.select(col("rep").as("rep_a"), col("q").as("q_a"),
+            col("nrm").as("n_a")), Seq("rep_a"))
+          .join(g.select(col("rep").as("rep_b"), col("q").as("q_b"),
+            col("nrm").as("n_b")), Seq("rep_b"))
+          .filter(dotQN(col("q_a"), col("q_b")).cast("double") /
+            (col("n_a") * col("n_b")) >= 0.4)
+          .select(col("rep_a").as("a"), col("rep_b").as("b"))
+        val starEdges = g.filter(size(col("members")) >= 2)
+          .filter(dotQN(col("q"), col("q")).cast("double") /
+            (col("nrm") * col("nrm")) >= 0.4)
+          .select(col("rep").as("a"), explode(col("members")).as("b"))
+          .filter(col("a") =!= col("b"))
         val labels = graft.exec.ConnectedComponents.components(
-          embedPairs(s, dir).select(col("vec_a"), col("vec_b")),
-          "vec_a", "vec_b")
+          crossEdges.unionByName(starEdges), "a", "b")
         labels.groupBy(col("label"))
           .agg(count(lit(1)).as("n_members"),
             array_join(sort_array(collect_list(col("id"))), ";").as("member_ids"))

@@ -151,6 +151,22 @@ class DedupCollapseSpec extends SparkTestBase {
       direct.exceptAll(run("d7_dup_clusters")).isEmpty)
   }
 
+  test("d12 collapsed-star clusters == components over the d6 pair list") {
+    // d12 clusters rep-level edges + rep→member stars; CC over d6's
+    // EXPANDED member-pair list is the semantic reference — on the
+    // 3x-replicated corpus every cluster carries real duplicate members,
+    // so a star/expansion divergence cannot hide
+    val direct = graft.exec.ConnectedComponents
+      .components(run("d6_embed_neardup").select(col("vec_a"), col("vec_b")),
+        "vec_a", "vec_b")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"),
+        array_join(sort_array(collect_list(col("id"))), ";").as("member_ids"))
+      .select(col("label").as("cluster_id"), col("n_members"), col("member_ids"))
+    assert(run("d12_semantic_keep_one").exceptAll(direct).isEmpty &&
+      direct.exceptAll(run("d12_semantic_keep_one")).isEmpty)
+  }
+
   test("sim6 group-truncated knn == direct per-vector ranked candidates") {
     // the k+2 per-group truncation before member expansion must be
     // invisible: on a corpus where every vector has 2 exact twins, each
