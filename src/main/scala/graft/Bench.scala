@@ -166,7 +166,11 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
     }
-    val compact = { val l3 = line(3); if (l3.length <= 1850) l3 else line(2) }
+    val compact = {
+      val l3 = line(3)
+      if (l3.length <= 1850) l3
+      else { val l2 = line(2); if (l2.length <= 1900) l2 else line(1) }
+    }
     val detailJson =
       if (!detail) ""
       else volumes.map { case (k, (w, r, sp)) =>
