@@ -220,28 +220,65 @@ object TextOps {
         // AQE is free to downgrade it to broadcast at small scale, but
         // nothing forces that at large scale.
         import org.apache.spark.sql.expressions.Window
-        // ONE tokenization pass, counted IN-ROW: graft_token_counts (a
-        // codegen'd kernel; TextFunctions.tokenCounts is its executable
-        // HOF spec) emits each doc's distinct (tok, m) pairs in a single
-        // JIT'd split+hash pass, so the per-(doc, tok) aggregate that
-        // would hash every token INSTANCE never exists (at sf10 that
-        // aggregate alone cost more than the rest of the query). The
-        // exploded pairs repartition by tok ONCE; both consumers (the
-        // vocab count and the score join) hang off that same exchange —
-        // the vocab groupBy finds its clustering already satisfied, the
-        // join side reads the reused stage — so the expensive
-        // scan+tokenize runs once.
-        val docTok = t(s, dir, "documents")
+        // Tokenization is counted IN-ROW: graft_token_counts (a codegen'd
+        // kernel; TextFunctions.tokenCounts is its executable HOF spec)
+        // emits each doc's distinct (tok, m) pairs in a single JIT'd
+        // split+hash pass, so the per-(doc, tok) aggregate that would
+        // hash every token INSTANCE never exists (at sf10 that aggregate
+        // alone cost more than the rest of the query).
+        //
+        // The pairs are NOT pre-shuffled onto tok (the r6 form
+        // repartition(tok)'d them once and hung both consumers off that
+        // exchange — which priced the PESSIMISTIC case into every run:
+        // two full pair-volume shuffles, ~500M rows each at sf100, even
+        // though the vocabulary is orders of magnitude smaller than the
+        // pair stream). Instead each consumer takes its cheapest shape
+        // and AQE arbitrates the join:
+        //  - the vocab count partial-aggregates map-side, so its shuffle
+        //    carries at most (distinct toks per partition) rows — vocab-
+        //    bounded, never pair-bounded;
+        //  - the rank join back onto the pair stream is UNHINTED: when
+        //    the ranked vocab materializes small (any corpus whose vocab
+        //    fits the broadcast threshold) AQE broadcasts it and the
+        //    pairs NEVER shuffle; at true web scale (billions of distinct
+        //    tokens) it degrades to the sort-merge join the r6 form
+        //    always paid — the worst case is unchanged, the common case
+        //    drops both pair shuffles;
+        //  - with the pairs left in their scan partitions, every doc's
+        //    pairs are co-located, so the final per-doc aggregate
+        //    partial-aggregates to ONE row per doc map-side — the doc
+        //    shuffle carries ~D rows, not ~D×vocab_per_doc.
+        // The price is a second scan+tokenize pass — and each pass
+        // REPARTITIONS THE RAW TEXT before exploding: the explode's
+        // kernel runs in its input stage, and a compactly-written corpus
+        // (one parquet file per table here) gives that stage only
+        // size/maxPartitionBytes input splits, serializing the tokenize
+        // on a handful of cores. Shuffling text bytes is linear in
+        // corpus size (the pair stream it replaces is an order of
+        // magnitude wider), and on a real many-file corpus the exchange
+        // is simply how the pair production gets its parallelism pinned
+        // to the cluster instead of to the writer's file layout.
+        def docTok = t(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .repartition(col("doc_id"))
           .select(col("doc_id"),
             explode(call_function("graft_token_counts", col("text"))).as("p"))
           .select(col("doc_id"), col("p.tok").as("tok"), col("p.m").as("m"))
-          .repartition(col("tok"))
+        // The ranked-vocab frame is consumed TWICE (offsets + the rank
+        // join); checkpointing it makes the vocab sort and its tokenize
+        // pass run ONCE (without it each consumer re-derives the whole
+        // subtree — the sort's exchange is no longer shared, so
+        // ReuseExchange can't collapse them) and pins the
+        // monotonically_increasing_id assignment to a single evaluation.
+        // The frame is vocab-sized (tok, pid, local) — bounded by the
+        // distinct-token table, never the pair stream.
         val sorted = docTok.groupBy(col("tok")).agg(sum(col("m")).as("n"))
           .orderBy(col("n").desc, col("tok"))
           .select(col("tok"), monotonically_increasing_id().as("mid"))
           .select(col("tok"),
             shiftright(col("mid"), 33).as("pid"),
             col("mid").bitwiseAND(lit((1L << 33) - 1)).as("local"))
+          .localCheckpoint(false)
         val offsets = sorted.groupBy(col("pid"))
           .agg(count(lit(1)).as("pn"))
           .select(col("pid"),
