@@ -123,4 +123,22 @@ object MediaPipeline {
       explode(sequence(lit(0),
         greatest(ceil(col("meta.n_bytes") / 64d).cast("long") - 1, lit(0)),
         lit(stride.toLong))).as("block_idx"))
+
+  /** Deterministic synthetic BINARY payload for an id column: `nBlocks`
+    * 16-byte blocks, block i = unhex(md5(id || ':' || i)) — true
+    * non-ASCII bytes, reproducible on any engine that agrees on md5 (so
+    * an external oracle can re-derive the exact byte stream in hex
+    * space). This is the test-scale stand-in for reading a real media
+    * bucket: everything downstream of [[toMediaFrame]] — byte-budget
+    * repartitioning, the decoder iteration contract, block sampling —
+    * exercises the same code path a codec-backed payload would.
+    *
+    * Pure codegen'd built-ins (sequence → transform → concat_ws →
+    * unhex), so payload synthesis runs inside the scan's
+    * WholeStageCodegen span — no UDF, no driver data.
+    */
+  def syntheticPayload(id: Column, nBlocks: Column): Column =
+    unhex(concat_ws("",
+      transform(sequence(lit(0), nBlocks.cast("int") - 1),
+        i => md5(concat(id.cast("string"), lit(":"), i.cast("string"))))))
 }

@@ -84,6 +84,67 @@ object MultimodalOps {
                       unnest(range(0, greatest((octet_length(encode(text)) + 63) // 64, 1), 4)) AS bi
                     FROM documents)
               GROUP BY 1"""),
-      doc = "Multimodal: stride-4 block sampling (decode-free frame selection)")
+      doc = "Multimodal: stride-4 block sampling (decode-free frame selection)"),
+
+    Q(
+      "mm4_synthetic_decode",
+      // REAL BINARY payloads (mm1–mm3 stand text bytes in for blobs; this
+      // query runs the decode path over true non-ASCII binary):
+      // MediaPipeline.syntheticPayload derives each payload as 16-byte
+      // md5 blocks keyed on (doc_id, block) — codegen'd built-ins, so the
+      // bytes are synthesized inside the scan stage exactly where a media
+      // bucket read would sit. Sizes are deliberately skewed (every 97th
+      // doc is a 4 KB "clip" among 128–496 B "thumbnails") so the
+      // byte-budget repartition actually redistributes, then the stub
+      // decoder folds each 64-byte block into 8 features per the
+      // MediaDecoder contract. The oracle re-derives the identical byte
+      // stream IN HEX SPACE (DuckDB agrees on md5) and replays the
+      // modular fold on two of the eight feature lanes — the decode
+      // arithmetic is checked end-to-end, not just row counts.
+      (s, dir) => {
+        def blocksOf(id: org.apache.spark.sql.Column) =
+          when(id % 97 === 0, lit(256)).otherwise(lit(8) + id % 24)
+        val src = t(s, dir, "documents").select(
+          col("doc_id"),
+          MediaPipeline.syntheticPayload(col("doc_id"), blocksOf(col("doc_id")))
+            .as("payload"))
+        val media = MediaPipeline.toMediaFrame(src, "doc_id", "payload", "synthetic")
+        val sized = MediaPipeline.repartitionByBytes(media, 1L << 20)
+        def fMilli(d: Int) =
+          sum(round(element_at(col("feature"), d + 1).cast("double") * 1000)
+            .cast("long"))
+        MediaPipeline.decodeFeatures(sized, MediaPipeline.StubDecoder)
+          .groupBy(col("media_id"))
+          .agg(count(lit(1)).as("n_frames"),
+            fMilli(0).as("sum_f0_milli"),
+            fMilli(7).as("sum_f7_milli"))
+          .withColumn("n_bytes", blocksOf(col("media_id")) * 16L)
+      },
+      Some("""WITH n AS (SELECT doc_id,
+                  CASE WHEN doc_id % 97 = 0 THEN 256 ELSE 8 + doc_id % 24 END AS nb
+                FROM documents),
+              p AS (SELECT doc_id, nb * 16 AS n_bytes,
+                  array_to_string([md5(doc_id::VARCHAR || ':' || i::VARCHAR)
+                                   for i in range(0, nb)], '') AS hex
+                FROM n),
+              b AS (SELECT doc_id, n_bytes, hex,
+                      unnest(range(0, (n_bytes + 63) // 64)) AS bi
+                FROM p),
+              f AS (SELECT doc_id, n_bytes,
+                  list_reduce(list_prepend(17::BIGINT,
+                    [('0x' || substr(hex, (bi*64 + j)*2 + 1, 2))::BIGINT
+                     for j in range(0, least(64, n_bytes - bi*64), 8)]),
+                    (acc, x) -> (acc*31 + x) % 1000000007) % 1000 AS f0_milli,
+                  list_reduce(list_prepend(17::BIGINT,
+                    [('0x' || substr(hex, (bi*64 + j)*2 + 1, 2))::BIGINT
+                     for j in range(7, least(64, n_bytes - bi*64), 8)]),
+                    (acc, x) -> (acc*31 + x) % 1000000007) % 1000 AS f7_milli
+                FROM b)
+              SELECT doc_id AS media_id, count(*) AS n_frames,
+                sum(f0_milli)::BIGINT AS sum_f0_milli,
+                sum(f7_milli)::BIGINT AS sum_f7_milli,
+                max(n_bytes)::BIGINT AS n_bytes
+              FROM f GROUP BY doc_id"""),
+      doc = "Multimodal: end-to-end decode over true synthetic binary payloads")
   )
 }

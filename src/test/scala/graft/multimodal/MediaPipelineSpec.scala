@@ -67,4 +67,38 @@ class MediaPipelineSpec extends SparkTestBase {
     // 211 total bytes at a 100-byte budget -> 2 partitions
     assert(repartitionByBytes(m, 100L).rdd.getNumPartitions == 2)
   }
+
+  test("syntheticPayload emits deterministic true-binary md5 blocks") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(5L, 9L).toDF("id")
+      .select(col("id"), syntheticPayload(col("id"), lit(3)).as("payload"))
+    val rows = df.collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+      .sortBy(_._1).toSeq
+    // 3 blocks x 16 bytes, and block 0 of id=5 IS unhex(md5("5:0"))
+    assert(rows.forall(_._2.length == 48))
+    val md5_5_0 = java.security.MessageDigest.getInstance("MD5")
+      .digest("5:0".getBytes("UTF-8"))
+    assert(rows.head._2.take(16).toSeq == md5_5_0.toSeq)
+    // genuinely non-ASCII binary (a text-cast column can't produce this)
+    assert(rows.exists(_._2.exists(b => (b & 0xff) > 127)))
+    // deterministic across evaluations
+    val again = df.collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+      .sortBy(_._1).toSeq
+    assert(rows.map(_._2.toSeq) == again.map(_._2.toSeq))
+  }
+
+  test("synthetic payloads flow through decode with the block contract") {
+    val s = spark
+    import s.implicits._
+    val media = toMediaFrame(
+      Seq(1L, 2L).toDF("id")
+        .select(col("id"), syntheticPayload(col("id"), lit(9)).as("payload")),
+      "id", "payload", "synthetic")
+    // 9 blocks x 16 = 144 bytes -> ceil(144/64) = 3 decode frames
+    val frames = decodeFeatures(media, StubDecoder)
+      .groupBy(col("media_id")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(frames == Map(1L -> 3L, 2L -> 3L))
+  }
 }
