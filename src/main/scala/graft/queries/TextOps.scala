@@ -612,6 +612,65 @@ object TextOps {
               SELECT doc_id, rank::BIGINT AS rank, term, tf, df,
                      round(score * 1000)::BIGINT AS score_milli
               FROM r WHERE rank <= 3"""),
-      doc = "Text: per-doc top-k terms by smoothed tf-idf (kernel tf, shuffle-join idf)")
+      doc = "Text: per-doc top-k terms by smoothed tf-idf (kernel tf, shuffle-join idf)"),
+
+    Q(
+      "t11_line_dedup",
+      (s, dir) => {
+        // C4-STYLE LINE-LEVEL DEDUP: segment each doc into fixed 8-token
+        // "lines", drop EVERY occurrence of any line whose exact text
+        // repeats anywhere in the corpus (the C4 rule that strips
+        // boilerplate — nav bars, cookie banners, license headers — from
+        // otherwise-unique pages), then reassemble the survivors in
+        // document order. A deterministic boilerplate line is spliced
+        // onto every doc (the synthetic corpus is clean prose, like t6's
+        // PII splice) so the op has real work at any sf. The kept-text
+        // md5 makes the compare sensitive to every byte of the
+        // reassembly, including line order.
+        //
+        // SCALE SHAPE: one map-side-combined count on the line text (the
+        // shuffle carries distinct lines per partition, not line
+        // instances), the repeated-line set is duplication-bounded (tiny
+        // for a healthy corpus) so AQE broadcasts the anti-join probe,
+        // and the reassembly groups by doc_id — collect_list is bounded
+        // by a single document's line count. No global sort; per-doc
+        // order rides the (idx, line) struct sort inside each group.
+        val boiler = "subscribe to our newsletter for updates and offers"
+        val toks = tokens(concat(lit(boiler), lit(" "), col("text")))
+        val nLines = ceil(size(toks) / 8d).cast("int")
+        val lines = transform(sequence(lit(0), nLines - 1),
+          k => array_join(slice(toks, k * 8 + 1, lit(8)), " "))
+        val exploded = t(s, dir, "documents")
+          .select(col("doc_id"), posexplode(lines).as(Seq("idx", "line")))
+        val repeated = exploded.groupBy(col("line"))
+          .agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 2)
+          .select(col("line"))
+        exploded.join(repeated, Seq("line"), "left_anti")
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_kept"),
+            md5(array_join(
+              transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+                p => p.getField("line")), " ")).as("kept_md5"))
+      },
+      Some("""WITH w AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(
+                    'subscribe to our newsletter for updates and offers ' || text,
+                    '\s+'), x -> x <> '') AS w
+                FROM documents),
+              l AS (SELECT doc_id,
+                  [ {'idx': k, 'line': array_to_string(w[k*8+1 : k*8+8], ' ')}
+                    for k in range(0, (len(w)+7)//8) ] AS lines
+                FROM w),
+              e AS (SELECT doc_id, u.idx AS idx, u.line AS line
+                    FROM (SELECT doc_id, unnest(lines) AS u FROM l)),
+              c AS (SELECT line FROM e GROUP BY line HAVING count(*) >= 2),
+              k AS (SELECT e.* FROM e LEFT JOIN c ON e.line = c.line
+                    WHERE c.line IS NULL)
+              SELECT doc_id, count(*) AS n_kept,
+                md5(array_to_string(array_agg(line ORDER BY idx), ' ')) AS kept_md5
+              FROM k GROUP BY doc_id"""),
+      doc = "Text: C4-style corpus-wide line-level dedup with ordered reassembly")
   )
 }
