@@ -267,6 +267,49 @@ object JoinAggOps {
       doc = "Skew: salted two-phase collect_list rollup, oracle-equal to direct"),
 
     Q(
+      "a13_sketch_profile",
+      (s, dir) => {
+        // SKETCH PROFILING with an engine-side error-contract check: a
+        // 100 TB cardinality/quantile profile runs on sketches
+        // (approx_count_distinct = HyperLogLog++, approx_percentile =
+        // rank-error-bounded), never on exact holistic aggregates (a
+        // count-distinct expand or per-group sort over 100 TB is the
+        // plan you ship AROUND). No other engine reproduces a sketch
+        // bit-for-bit, so the oracle contract is the error envelope:
+        // this query computes sketch AND exact in one pass and emits
+        // booleans asserting the sketch landed inside its documented
+        // bound (3x the requested rsd for HLL, a value bracket around
+        // the requested rank for the percentile); the oracle recomputes
+        // the exact values and expects the booleans TRUE. At production
+        // scale you drop the exact columns and keep the sketches — the
+        // contract they were verified against here is what licenses
+        // that swap.
+        val o = t(s, dir, "orders")
+        o.groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("n"),
+            countDistinct(col("o_custkey")).as("exact_custs"),
+            approx_count_distinct(col("o_custkey"), 0.02).as("hll_custs"),
+            percentile(col("o_custkey"), lit(0.5)).as("p50_exact"),
+            approx_percentile(col("o_custkey"), lit(0.5), lit(10000)).as("ap50"),
+            percentile(col("o_custkey"), lit(0.48)).as("lo"),
+            percentile(col("o_custkey"), lit(0.52)).as("hi"))
+          .select(
+            col("o_orderstatus"), col("n"), col("exact_custs"),
+            (abs(col("hll_custs") - col("exact_custs"))
+              <= col("exact_custs") * 0.06 + 4).as("hll_ok"),
+            col("p50_exact"),
+            (col("ap50") >= col("lo") && col("ap50") <= col("hi")).as("p50_ok"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+              count(DISTINCT o_custkey) AS exact_custs,
+              TRUE AS hll_ok,
+              quantile_cont(o_custkey, 0.5) AS p50_exact,
+              TRUE AS p50_ok
+              FROM orders GROUP BY o_orderstatus"""),
+      doc = "Sketches: HLL++ cardinality + approx percentile vs exact, contract-checked"),
+
+    Q(
       "a9_behavior_audit",
       (s, dir) => {
         // A9: users with a 'purchase' event but no 'signup' (treatment-
