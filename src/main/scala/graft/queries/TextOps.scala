@@ -671,6 +671,68 @@ object TextOps {
               SELECT doc_id, count(*) AS n_kept,
                 md5(array_to_string(array_agg(line ORDER BY idx), ' ')) AS kept_md5
               FROM k GROUP BY doc_id"""),
-      doc = "Text: C4-style corpus-wide line-level dedup with ordered reassembly")
+      doc = "Text: C4-style corpus-wide line-level dedup with ordered reassembly"),
+
+    Q(
+      "t12_classifier_sweep",
+      (s, dir) => {
+        // CLASSIFIER-FILTER THRESHOLD SWEEP (the CCNet/fastText-quality-
+        // filter calibration step): score every doc with a fixed-weight
+        // linear model over its quality signals, then report each
+        // source's keep-curve — how many docs and tokens survive at each
+        // candidate threshold — which is the table you read to pick the
+        // production cutoff. The model is integer-milli weighted (the
+        // sigmoid is monotonic, so thresholding the linear score is
+        // exactly thresholding the probability) and the sweep rides the
+        // tp3 histogram trick: one map-side-combined shuffle to
+        // (source, score) — a frame bounded by sources x 3001 at ANY
+        // corpus size — then a tiny threshold cross join. 100 TB cost =
+        // one histogram shuffle; the sweep itself is constant work.
+        val toks = tokens(col("text"))
+        val stop = Seq("the", "a", "of", "and", "in", "to", "is")
+        val st = call_function("graft_tok_stats", col("text"))
+        val score = greatest(lit(0L), least(lit(3000L),
+          permille(st.getField("n_distinct_tokens"), st.getField("n_tokens")) * 2
+            + permille(length(regexp_replace(col("text"), "[^A-Za-z]", "")),
+                length(col("text")))
+            - permille(size(filter(toks, x => x.isin(stop.map(lit(_)): _*))),
+                size(toks))))
+        val hist = t(s, dir, "documents")
+          .select(col("source"), score.as("score"),
+            st.getField("n_tokens").as("n_toks"))
+          .groupBy(col("source"), col("score"))
+          .agg(count(lit(1)).as("n"), sum(col("n_toks")).as("tok"))
+        val thresholds = hist.sparkSession.range(0, 3001, 250)
+          .select(col("id").as("threshold"))
+        hist.crossJoin(broadcast(thresholds))
+          .groupBy(col("source"), col("threshold"))
+          .agg(
+            sum(when(col("score") >= col("threshold"), col("n"))
+              .otherwise(0L)).as("n_kept"),
+            sum(when(col("score") >= col("threshold"), col("tok"))
+              .otherwise(0L)).as("kept_tokens"))
+      },
+      Some("""WITH q AS (SELECT source,
+                  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks,
+                  text
+                FROM documents),
+              scored AS (SELECT source,
+                  greatest(0, least(3000,
+                    (len(list_distinct(toks)) * 1000 // len(toks)) * 2
+                    + length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000 // length(text)
+                    - len(list_filter(toks, x -> list_contains(['the','a','of','and','in','to','is'], x))) * 1000 // len(toks)
+                  ))::BIGINT AS score,
+                  len(toks)::BIGINT AS n_toks
+                FROM q),
+              hist AS (SELECT source, score, count(*)::BIGINT AS n,
+                         sum(n_toks)::BIGINT AS tok
+                       FROM scored GROUP BY source, score),
+              th AS (SELECT unnest(range(0, 3001, 250))::BIGINT AS threshold)
+              SELECT source, threshold,
+                sum(CASE WHEN score >= threshold THEN n ELSE 0 END)::BIGINT AS n_kept,
+                sum(CASE WHEN score >= threshold THEN tok ELSE 0 END)::BIGINT AS kept_tokens
+              FROM hist CROSS JOIN th
+              GROUP BY source, threshold"""),
+      doc = "Filtering: fixed-weight quality-classifier threshold sweep (keep-curve per source)")
   )
 }
