@@ -48,6 +48,7 @@ object GraftExtensions {
       intArg(es(1), "graft_minhash_bands"),
       intArg(es(2), "graft_minhash_bands"),
       intArg(es(3), "graft_minhash_bands"))),
+    "graft_bloom_might_contain" -> (es => BloomMightContainLong(es(0), es(1))),
     "graft_lsh_bands" -> (es => LshBands(es(0),
       intArg(es(1), "graft_lsh_bands"),
       intArg(es(2), "graft_lsh_bands"),

@@ -831,6 +831,65 @@ object DedupOps {
               FROM batch b
               LEFT JOIN corpus c USING (fp)
               JOIN first_seen fs USING (fp)"""),
-      doc = "Dedup: incremental batch-vs-corpus classification (corpus never re-scored)")
+      doc = "Dedup: incremental batch-vs-corpus classification (corpus never re-scored)"),
+
+    Q(
+      "d13_bloom_decontaminate",
+      (s, dir) => {
+        // BLOOM-PREFILTERED DECONTAMINATION — d10's question ("which
+        // corpus docs contain eval-set grams?") answered with the plan a
+        // 100 TB deployment actually runs. d10 broadcasts the EXACT
+        // eval-gram set into a left join, which prices every corpus gram
+        // through a hash probe against a table that, for a large eval
+        // suite (10^8 grams ≈ GBs as exact keys), stops fitting the
+        // broadcast budget. Here the corpus stream is pruned MAP-SIDE by
+        // a Bloom filter over the eval universe (~10 bits/elem at 1% fpp
+        // — ~6x smaller than exact 8-byte keys), built distributed by
+        // `DataFrameStatFunctions.bloomFilter` (treeAggregate over the
+        // eval side only) and baked into a codegen'd probe expression
+        // (`BloomMightContainLong`): the filter deserializes once per
+        // plan, the probe is a branch-free bitset test inside the scan's
+        // codegen span, and only (true hits + 1% of corpus grams)
+        // survive to the exact-verify join. That join is UNHINTED: AQE
+        // broadcasts the eval set at test scale; at true scale it
+        // degrades to a shuffle join whose LEFT side is hit-bounded, not
+        // corpus-bounded — the bloom made the shuffle affordable.
+        // n_grams rides row-local `size(sh)` (the shingle frame is
+        // per-doc), so the corpus text contributes ZERO shuffles: the
+        // only corpus-volume work is the scan + the bitset probe.
+        // Result is EXACT (hit docs + true overlap counts): the verify
+        // join removes every false positive, so the fpp trades compute,
+        // never correctness.
+        val sh = shingled(s, dir)
+        val grams = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+        val bench = grams.filter(col("doc_id") % 97 === 0)
+          .select(col("g")).distinct()
+        val bloom = {
+          val n = math.max(bench.count(), 1L)
+          val bf = bench.stat.bloomFilter("g", n, 0.01)
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          bos.toByteArray
+        }
+        val candidates = grams.filter(col("doc_id") % 97 =!= 0)
+          .filter(call_function("graft_bloom_might_contain", lit(bloom), col("g")))
+        val hits = candidates.join(bench, Seq("g"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+        sh.filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"))
+          .join(hits, Seq("doc_id"))
+          .select(col("doc_id"), col("n_grams"), col("n_overlap"),
+            permille(col("n_overlap"), col("n_grams")).as("overlap_permille"))
+      },
+      Some(s"""WITH $ShingleCte,
+              bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 97 = 0),
+              corpus AS (SELECT doc_id, sh AS gs FROM sh WHERE doc_id % 97 <> 0),
+              ex AS (SELECT doc_id, unnest(gs) AS g FROM corpus),
+              hit AS (SELECT doc_id, count(*) AS n_overlap
+                      FROM ex JOIN bench USING (g) GROUP BY doc_id)
+              SELECT c.doc_id, len(c.gs)::BIGINT AS n_grams, h.n_overlap,
+                (h.n_overlap * 1000 // len(c.gs))::BIGINT AS overlap_permille
+              FROM corpus c JOIN hit h USING (doc_id)"""),
+      doc = "Decontamination: Bloom map-side prune + exact verify (corpus contributes zero shuffles)")
   )
 }
