@@ -733,6 +733,48 @@ object TextOps {
                 sum(CASE WHEN score >= threshold THEN tok ELSE 0 END)::BIGINT AS kept_tokens
               FROM hist CROSS JOIN th
               GROUP BY source, threshold"""),
-      doc = "Filtering: fixed-weight quality-classifier threshold sweep (keep-curve per source)")
+      doc = "Filtering: fixed-weight quality-classifier threshold sweep (keep-curve per source)"),
+
+    Q(
+      "t13_cms_hot_terms",
+      (s, dir) => {
+        // HEAVY HITTERS via Count-Min Sketch, contract-checked like
+        // a13's HLL/percentile: the hot-term (or hot-domain, hot-URL)
+        // profile a corpus pass keeps is a SKETCH, because an exact
+        // per-term count table at web scale is itself a billion-row
+        // shuffle. CMS builds in ONE treeAggregate pass over the
+        // (doc, term) stream — no shuffle at all, mergeable across
+        // executors/batches — and answers point frequency queries with
+        // a one-sided error: est >= exact, est <= exact + eps*N with
+        // probability 1-delta (eps=1e-4, delta=1e-3, fixed seed so the
+        // run is deterministic). The exact side (vocab aggregate +
+        // top-20 TakeOrderedAndProject) exists here to CHECK that
+        // contract; at 100 TB you drop it and keep the sketch. The
+        // oracle recomputes the exact top-20 doc frequencies and
+        // expects every contract boolean TRUE.
+        val pairs = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(call_function("graft_token_counts", col("text"))).as("p"))
+          .select(col("p.tok").as("term"))
+        val nTotal = pairs.count()
+        val cms = pairs.stat.countMinSketch("term", 1e-4, 0.999, 42)
+        val top = pairs.groupBy(col("term")).agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("n_docs").desc, col("term")).limit(20)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        val eps = math.ceil(1e-4 * nTotal).toLong
+        import s.implicits._
+        top.toSeq.map { case (term, exact) =>
+          val est = cms.estimateCount(term)
+          (term, exact, est >= exact && est <= exact + eps)
+        }.toDF("term", "n_docs", "cms_ok")
+      },
+      Some("""WITH tok AS (
+                SELECT DISTINCT doc_id,
+                  unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS term
+                FROM documents)
+              SELECT term, count(*) AS n_docs, TRUE AS cms_ok
+              FROM tok GROUP BY term
+              ORDER BY n_docs DESC, term LIMIT 20"""),
+      doc = "Sketches: Count-Min heavy hitters in one shuffle-free pass, error-contract-checked")
   )
 }
