@@ -418,6 +418,47 @@ object JoinAggOps {
               FROM p LEFT JOIN c
                 ON c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
               GROUP BY p.event_id"""),
-      doc = "Range join: bounded-interval aggregate via time-bin bucketed hash join")
+      doc = "Range join: bounded-interval aggregate via time-bin bucketed hash join"),
+
+    Q(
+      "a14_mergeable_sketches",
+      (s, dir) => {
+        // MERGEABLE SKETCH STATE — the incremental-profile pattern a13
+        // verifies pointwise, completed: per-shard (here per-event_type)
+        // HLL sketches are built ONCE, kept as binary columns, and the
+        // corpus-level cardinality comes from MERGING the sketches
+        // (`hll_union_agg`), never from re-scanning the shards. At
+        // 100 TB this is how a daily profile absorbs a new partition:
+        // sketch the increment, union with the stored state — cost is
+        // sketch-count, not corpus size. HLL union of same-config
+        // sketches is lossless, so the merged estimate carries the same
+        // error envelope as a direct global sketch; the exact sides
+        // (countDistinct per group + global) exist here to CHECK both
+        // envelopes, and the oracle recomputes them and expects every
+        // contract boolean TRUE (sketches are engine-specific; their
+        // CONTRACT is what an independent engine can verify).
+        val e = t(s, dir, "events")
+        val per = e.groupBy(col("event_type"))
+          .agg(
+            hll_sketch_agg(col("user_id"), 14).as("sk"),
+            countDistinct(col("user_id")).as("n_users"))
+        val perOut = per.select(
+          col("event_type"), col("n_users"),
+          (abs(hll_sketch_estimate(col("sk")) - col("n_users"))
+            <= col("n_users") * 0.05 + 4).as("hll_ok"))
+        val merged = per.agg(
+            hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+          .crossJoin(e.agg(countDistinct(col("user_id")).as("n_users")))
+          .select(
+            lit("__all__").as("event_type"), col("n_users"),
+            (abs(col("est") - col("n_users"))
+              <= col("n_users") * 0.05 + 4).as("hll_ok"))
+        perOut.unionByName(merged)
+      },
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users, TRUE AS hll_ok
+              FROM events GROUP BY event_type
+              UNION ALL
+              SELECT '__all__', count(DISTINCT user_id), TRUE FROM events"""),
+      doc = "Sketches: per-shard HLL state merged via hll_union_agg, both envelopes contract-checked")
   )
 }
