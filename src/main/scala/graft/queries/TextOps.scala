@@ -451,6 +451,50 @@ object TextOps {
       doc = "Mixture: per-source token-budget quality-threshold calibration"),
 
     Q(
+      "tp4_weighted_sample",
+      (s, dir) => {
+        // WEIGHTED SAMPLING WITHOUT REPLACEMENT (Efraimidis–Spirakis): a
+        // per-source k-sample where each doc's inclusion probability is
+        // proportional to its length — the standard way to draw a
+        // token-budget-shaped subsample in one distributed pass. Each doc
+        // gets key = ln(u)/w (u a DETERMINISTIC uniform from the shared
+        // md5-prefix hash, w = n_chars); the k largest keys per source ARE
+        // an exact ES sample — no rand(), so retries, speculative tasks
+        // and re-runs draw the identical sample, and the oracle can replay
+        // the draw. u is built from exact integer arithmetic in (0,1]
+        // (mod 2^53-1, then /2^53) so both engines compute bit-identical
+        // doubles before the one ln(). Same two-phase rank as t8: a window
+        // on (source, shard) keeps each shard's top-k — a superset of the
+        // per-source top-k — then the <=32*k survivors re-rank per source;
+        // no source-count-bound partitioning at any corpus size.
+        import org.apache.spark.sql.expressions.Window
+        val u = (graft.functions.HashFunctions.h60(col("doc_id").cast("string"))
+          % lit(9007199254740991L) + lit(1L)).cast("double") / lit(9.007199254740992e15)
+        val keyed = t(s, dir, "documents").select(
+          col("doc_id"), col("source"), col("n_chars"),
+          (log(u) / col("n_chars")).as("es_key"))
+        val ord = Seq(col("es_key").desc, col("doc_id"))
+        val w1 = Window.partitionBy(col("source"), pmod(hash(col("doc_id")), lit(32)))
+          .orderBy(ord: _*)
+        val w = Window.partitionBy(col("source")).orderBy(ord: _*)
+        keyed.withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= 5)
+          .drop("__r1")
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("source"), col("doc_id"), col("n_chars"), col("rank"))
+      },
+      Some("""WITH d AS (SELECT source, doc_id, n_chars,
+                ((('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 9007199254740991 + 1)
+                  / 9007199254740992.0) AS u
+              FROM documents),
+              k AS (SELECT source, doc_id, n_chars,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY ln(u)/n_chars DESC, doc_id) AS rank
+              FROM d)
+              SELECT source, doc_id, n_chars, rank FROM k WHERE rank <= 5"""),
+      doc = "Sampling: Efraimidis–Spirakis weighted k-sample per source, deterministic"),
+
+    Q(
       "t8_quality_topk",
       (s, dir) => {
         // PER-SOURCE QUALITY SELECTION: keep each source's top-5 docs by
