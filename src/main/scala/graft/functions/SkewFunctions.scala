@@ -44,4 +44,31 @@ object SkewFunctions {
       .groupBy(col("__key"))
       .agg(array_sort(flatten(collect_list(col("__part")))).as("__values"))
       .toDF("key", "values")
+
+  /** Salted equi-join for a skewed fact key against a dimension TOO LARGE
+    * to broadcast: the dimension is replicated `shards` times (a narrow
+    * explode — `shards`× the dim's bytes, amortized across the cluster)
+    * and each fact row lands in a deterministic shard, so the hot key's
+    * probe work spreads over `shards` reducers instead of funneling one.
+    * Result is exactly `fact JOIN dim USING (key)`.
+    *
+    * AQE's skew-join split handles this case REACTIVELY when it sees the
+    * skew at runtime; the salted form is the static guarantee for keys
+    * known to be pathological (a null-bucket surrogate, a "unknown user"
+    * id) and for the sort-merge-free `shuffle_hash` path pinned here —
+    * the hint keeps Spark from choosing broadcast (which would make the
+    * replication pointless) so the plan exercises the shape that matters
+    * at dimension sizes where broadcast is impossible.
+    *
+    * `saltSource` must be deterministic per row (an id column, NOT
+    * rand()) so retries and speculative tasks shard identically.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      saltSource: Column, shards: Int): DataFrame = {
+    require(shards > 1, "saltedJoin needs >1 shards")
+    val f = fact.withColumn("__shard", shard(saltSource, shards))
+    val d = dim.withColumn("__shard",
+      explode(lit((0 until shards).toArray)))
+    f.join(d.hint("shuffle_hash"), Seq(key, "__shard")).drop("__shard")
+  }
 }

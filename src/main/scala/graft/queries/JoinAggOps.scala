@@ -421,6 +421,34 @@ object JoinAggOps {
       doc = "Range join: bounded-interval aggregate via time-bin bucketed hash join"),
 
     Q(
+      "j10_salted_join",
+      (s, dir) => {
+        // SALTED SKEW JOIN (functions/SkewFunctions.saltedJoin): enrich a
+        // fact stream whose key is hot (150 users across the whole events
+        // log — every key is a straggler candidate) against a dimension,
+        // under the no-broadcast regime of a dimension too large to ship.
+        // The dim replicates across 16 shards, each fact row probes its
+        // deterministic shard, and the shuffle_hash hint pins the plan a
+        // huge dim would force anyway. Result is oracle-equal to the
+        // plain join; the salt must vanish from the output.
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("value"), col("event_id"))
+        val dim = t(s, dir, "customer")
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+        graft.functions.SkewFunctions
+          .saltedJoin(ev, dim, "user_id", col("event_id"), 16)
+          .groupBy(col("c_mktsegment"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(dec(col("value"))).cast("double").as("value_sum"))
+      },
+      Some("""SELECT c_mktsegment, event_type, count(*) AS n_events,
+                     sum(value::DECIMAL(18,2))::DOUBLE AS value_sum
+              FROM events JOIN customer ON user_id = c_custkey
+              GROUP BY c_mktsegment, event_type"""),
+      doc = "Skew: salted shuffle-hash join, oracle-equal to the plain join"),
+
+    Q(
       "a14_mergeable_sketches",
       (s, dir) => {
         // MERGEABLE SKETCH STATE — the incremental-profile pattern a13

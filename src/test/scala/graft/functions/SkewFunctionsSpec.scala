@@ -26,6 +26,28 @@ class SkewFunctionsSpec extends SparkTestBase {
     assert(salted("hot").size == 10000)
   }
 
+  test("saltedJoin equals the plain join and never broadcasts") {
+    // hot fact key: 5k rows on one key, trickle on the rest
+    val fact = ((1 to 5000).map(i => (1L, i.toLong)) ++
+      (2 to 100).map(i => (i.toLong, i.toLong * 10)))
+      .toDF("k", "payload")
+    val dim = (1 to 100).map(i => (i.toLong, s"d$i")).toDF("k", "attr")
+
+    val salted = SkewFunctions.saltedJoin(fact, dim, "k", col("payload"), 16)
+    val plain = fact.join(dim, Seq("k"))
+    assert(salted.columns.toSeq == plain.columns.toSeq, "salt must not leak")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+
+    val phys = salted.queryExecution.executedPlan.toString
+    assert(phys.contains("ShuffledHashJoin"), phys)
+    assert(!phys.contains("BroadcastHashJoin"), phys)
+    // the hot key's probes spread across shards: count distinct shards hit
+    val shardsHit = fact.filter(col("k") === 1L)
+      .select(SkewFunctions.shard(col("payload"), 16).as("s"))
+      .distinct().count()
+    assert(shardsHit == 16)
+  }
+
   test("shard is deterministic and bounded") {
     val df = (1 to 1000).map(_.toString).toDF("v")
     val a = df.select(SkewFunctions.shard(col("v"), 16).as("s"))
