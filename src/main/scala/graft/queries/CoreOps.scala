@@ -50,6 +50,37 @@ object CoreOps {
               FROM lineitem
               WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
               GROUP BY l_returnflag, l_linestatus"""),
-      doc = "A3/A6-style pricing summary (TPC-H Q1 shape); exact decimal agg")
+      doc = "A3/A6-style pricing summary (TPC-H Q1 shape); exact decimal agg"),
+
+    Q(
+      "dl1_zorder_curve",
+      (s, dir) => {
+        // Z-ORDER CLUSTERING KEY (sink/TableLayout.zorderValue): the
+        // Morton interleave of (customer, order-day) that writeZOrdered
+        // clusters files on, so 2-D box predicates prune on BOTH axes.
+        // Pure constant-folded long arithmetic inside the scan's codegen
+        // span; the oracle evaluates the identical 32-term sum. ZOrderSpec
+        // measures the file-pruning payoff of the layout itself.
+        val x = col("o_custkey")
+        // o_orderdate is parquet NTZ micros; the UTC-pinned session makes
+        // the TIMESTAMP cast value-preserving (same contract as Tables.t).
+        // `div` = exact integer floor division, like the oracle's `//`.
+        val y = expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        t(s, dir, "orders").select(
+          col("o_orderkey"),
+          x.as("x"),
+          y.as("y"),
+          graft.sink.TableLayout.zorderValue(x, y).as("z"))
+      },
+      Some {
+        val terms = (0 until 16).map(i =>
+          s"(((x >> $i) & 1) * ${1L << (2 * i)}) + (((y >> $i) & 1) * ${1L << (2 * i + 1)})")
+          .mkString(" + ")
+        s"""WITH d AS (SELECT o_orderkey, o_custkey AS x,
+                epoch(o_orderdate)::BIGINT // 86400 AS y
+              FROM orders)
+            SELECT o_orderkey, x, y, ($terms)::BIGINT AS z FROM d"""
+      },
+      doc = "Layout: Morton/Z-order clustering value, bit-identical to the SQL oracle")
   )
 }

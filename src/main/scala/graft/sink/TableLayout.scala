@@ -1,6 +1,7 @@
 package graft.sink
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Physical table layout for scale: bucketing (co-located joins) and
   * hive-style partitioning (pruned scans).
@@ -38,4 +39,40 @@ object TableLayout {
     */
   def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+
+  /** Morton (Z-order) value of two 16-bit dimension keys: bit i of `x`
+    * lands at position 2i, bit i of `y` at 2i+1. Pure long arithmetic —
+    * 32 constant-folded shift/mask terms, fully codegen'd, and exactly
+    * reproducible in ANSI SQL (the `dl1_zorder_curve` oracle evaluates
+    * the identical term sum in DuckDB).
+    *
+    * Inputs must already be bucketed into [0, 65536) — callers map raw
+    * keys with `% 65536`, a day-number, a range bucket, etc.
+    */
+  def zorderValue(x: Column, y: Column): Column =
+    (0 until 16).map { i =>
+      shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+
+  /** Persist `df` clustered on the Z-curve of two dimension keys: range-
+    * partition + sort by the interleaved value, so each output file covers
+    * a compact RECTANGLE of (x, y) space instead of a stripe of one
+    * dimension. Parquet min/max stats on BOTH columns then prune files/
+    * row groups for 2-D box predicates — a linear sort layout can only
+    * ever prune its leading column, and a predicate on the other dimension
+    * touches every file. At 100 TB this is the difference between reading
+    * a tile and reading the lake for queries that slice on two axes
+    * (entity × time being the canonical pair). `ZOrderSpec` measures the
+    * file-level pruning on both layouts.
+    */
+  def writeZOrdered(df: DataFrame, path: String, files: Int,
+      x: Column, y: Column): Unit = {
+    val zc = zorderValue(x, y).as("__z")
+    df.withColumn("__z", zc)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }
