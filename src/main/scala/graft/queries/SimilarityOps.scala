@@ -438,6 +438,98 @@ object SimilarityOps {
                 SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
                 FROM cand)
               WHERE rank <= 3"""),
-      doc = "ANN: per-vector top-k neighbor graph over LSH candidates (SemDeDup prep)")
+      doc = "ANN: per-vector top-k neighbor graph over LSH candidates (SemDeDup prep)"),
+
+    Q(
+      "sim7_pq_adc",
+      (s, dir) => {
+        // PRODUCT QUANTIZATION + ADC — the FAISS-style memory-scale path:
+        // each corpus vector compresses to M=4 one-byte codes (argmin
+        // ||subvector - centroid||^2 per subspace, integer-exact), and
+        // query scoring is an Asymmetric Distance Computation: the query
+        // precomputes dot(q_m, c) per (subspace, centroid) and each
+        // candidate costs M table lookups — the scored frame carries 4
+        // ints per vector instead of 64 longs, a 32x candidate-stream
+        // shrink. Codebook = subvectors of 8 deterministic seed vectors
+        // (training-free; sim5 already hash-checks TRAINED quantizers —
+        // this query checks the encode/ADC machinery). Every score is
+        // integer arithmetic, so the oracle is hash-exact, and the whole
+        // corpus path is one narrow pass: encode in the scan, broadcast
+        // the query batch, two-phase top-k.
+        import s.implicits._
+        val M = 4; val S = 16; val J = 8
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), quantizeN(col("embedding")).as("q"))
+        val seeds: Array[Seq[Long]] =
+          e.filter(!expr(QuerySetSql) && col("vec_id") % 10 === 0)
+            .orderBy("vec_id").limit(J).select("q").as[Seq[Long]].collect()
+        require(seeds.length == J && seeds.head.length == M * S,
+          s"PQ codebook needs $J seeds of dim ${M * S}")
+        val cb: Array[Array[Array[Long]]] =
+          Array.tabulate(M, J)((m, j) => seeds(j).slice(m * S, m * S + S).toArray)
+
+        def subv(q: org.apache.spark.sql.Column, m: Int) = slice(q, m * S + 1, S)
+        def dotLit(sub: org.apache.spark.sql.Column, c: Array[Long]) =
+          aggregate(zip_with(sub, typedlit(c.toSeq), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x)
+        def code(q: org.apache.spark.sql.Column, m: Int) = {
+          val costs = array((0 until J).map { j =>
+            lit(cb(m)(j).map(x => x * x).sum) - lit(2L) * dotLit(subv(q, m), cb(m)(j))
+          }: _*)
+          (array_position(costs, array_min(costs)) - 1).cast("int")
+        }
+
+        val corpus = e.filter(!expr(QuerySetSql))
+          .select(col("vec_id"),
+            array((0 until M).map(m => code(col("q"), m)): _*).as("codes"))
+        val queries = e.filter(expr(QuerySetSql))
+          .select(col("vec_id").as("query_id"), col("q").as("qq"))
+        val cbLit = (0 until M).map(m => typedlit(cb(m).map(_.toSeq).toSeq))
+        val scored = corpus.crossJoin(broadcast(queries))
+          .select(col("query_id"), col("vec_id"),
+            (0 until M).map { m =>
+              aggregate(
+                zip_with(subv(col("qq"), m),
+                  element_at(cbLit(m), col("codes")(m) + 1), (a, b) => a * b),
+                lit(0L), (acc, x) => acc + x)
+            }.reduce(_ + _).as("adc_score"))
+
+        val ord = Seq(col("adc_score").desc, col("vec_id"))
+        val w1 = Window.partitionBy(col("query_id"), pmod(hash(col("vec_id")), lit(64)))
+          .orderBy(ord: _*)
+        val w = Window.partitionBy(col("query_id")).orderBy(ord: _*)
+        scored.withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= K)
+          .drop("__r1")
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= K)
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+                  list_transform(embedding, x -> round(x::DOUBLE*1000)::BIGINT) AS q
+                FROM embeddings),
+              seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, q
+                FROM (SELECT vec_id, q FROM e
+                      WHERE NOT ($QuerySetSql) AND vec_id % 10 = 0
+                      ORDER BY vec_id LIMIT 8)),
+              ms AS (SELECT unnest([0,1,2,3]) AS m),
+              cb AS (SELECT m, j, q[m*16+1 : m*16+16] AS c FROM seeds, ms),
+              corpus AS (SELECT vec_id, q FROM e WHERE NOT ($QuerySetSql)),
+              costs AS (SELECT corpus.vec_id, cb.m, cb.j,
+                  list_dot_product(cb.c, cb.c)::BIGINT
+                    - 2*list_dot_product(corpus.q[cb.m*16+1 : cb.m*16+16], cb.c)::BIGINT AS cost
+                FROM corpus, cb),
+              codes AS (SELECT vec_id, m, j AS code FROM
+                 (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                    ORDER BY cost, j) AS r FROM costs) WHERE r = 1),
+              queries AS (SELECT vec_id AS query_id, q AS qq FROM e WHERE $QuerySetSql),
+              part AS (SELECT q.query_id, codes.vec_id,
+                  list_dot_product(q.qq[codes.m*16+1 : codes.m*16+16], cb.c)::BIGINT AS sc
+                FROM queries q, codes JOIN cb ON cb.m = codes.m AND cb.j = codes.code),
+              scored AS (SELECT query_id, vec_id, sum(sc)::BIGINT AS adc_score
+                FROM part GROUP BY query_id, vec_id)
+              SELECT query_id, vec_id, adc_score, rank FROM
+               (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY adc_score DESC, vec_id) AS rank FROM scored)
+              WHERE rank <= $K"""),
+      doc = "ANN memory scale: product-quantization codes + integer ADC top-k")
   )
 }
