@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding vocabulary learning — the tokenizer-
+  * training pass of a pretraining pipeline, run as the classic
+  * word-vocabulary reduction: BPE statistics depend only on the corpus's
+  * DISTINCT words and their counts, so the corpus collapses to a
+  * (word, count) frame first (one map-side-combined shuffle over raw
+  * tokens; at 100 TB the vocab is orders of magnitude smaller than the
+  * corpus) and every merge iteration runs over the vocab only.
+  *
+  * Per iteration: adjacent-symbol pairs explode out of each word weighted
+  * by word count, one aggregation ranks them, and the single best pair
+  * (count desc, then lexicographic — fully deterministic) drives a narrow
+  * left-to-right merge rewrite of the vocab. The driver sees ONE row per
+  * iteration (the argmax), never the vocab; lineage is checkpointed per
+  * round so plans stay flat across iterations.
+  *
+  * Left-to-right non-overlapping merge semantics match the standard BPE
+  * definition: merging (a,a) in "aaa" yields [aa, a] — `BpeLearnerSpec`
+  * pins this against a driver-side reference implementation.
+  */
+object BpeLearner {
+
+  /** Left-to-right single-pass merge of adjacent (left, right) into the
+    * fused symbol, as an `aggregate` HOF over the symbol array: append
+    * each symbol unless it completes the pair with the accumulator's
+    * tail, in which case the tail is replaced by the fusion. Non-
+    * overlapping by construction (the fused tail no longer equals
+    * `left` unless fusion == left).
+    */
+  private def applyMerge(symbols: Column, left: String, right: String): Column = {
+    val fused = left + right
+    aggregate(
+      symbols,
+      array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === left && x === right,
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(fused))))
+          .otherwise(concat(acc, array(x))))
+  }
+
+  /** Word-vocab frame from a text column: (symbols: array<string>, cnt),
+    * symbols = the word's characters. One shuffle, map-side combined.
+    */
+  def vocab(docs: DataFrame, text: Column): DataFrame =
+    docs.select(explode(split(text, "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(split(col("w"), "").as("symbols"), col("cnt"))
+
+  /** Learn the top `nMerges` BPE merges. Returns (rank, left, right,
+    * pair_count) with rank 1-based in learn order.
+    */
+  def learnMerges(docs: DataFrame, text: Column, nMerges: Int): Seq[(Int, String, String, Long)] = {
+    var words = vocab(docs, text).localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (i <- 1 to nMerges) {
+      val pairs = words
+        .select(col("cnt"), explode(
+          zip_with(slice(col("symbols"), lit(1), size(col("symbols")) - 1),
+            slice(col("symbols"), lit(2), size(col("symbols")) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l"), col("p.r")).agg(sum(col("cnt")).as("n"))
+      val top = pairs.orderBy(col("n").desc, col("l"), col("r")).limit(1).collect()
+      if (top.isEmpty) return merges.result()
+      val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += ((i, l, r, n))
+      words = words
+        .select(applyMerge(col("symbols"), l, r).as("symbols"), col("cnt"))
+        .localCheckpoint(true)
+    }
+    merges.result()
+  }
+}

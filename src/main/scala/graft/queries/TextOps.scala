@@ -495,6 +495,27 @@ object TextOps {
       doc = "Sampling: Efraimidis–Spirakis weighted k-sample per source, deterministic"),
 
     Q(
+      "bpe1_merge_table",
+      (s, dir) => {
+        // DISTRIBUTED BPE VOCABULARY LEARNING (functions/BpeLearner): the
+        // tokenizer-training pass, run over the corpus's (word, count)
+        // vocab — one token shuffle total, then each merge iteration
+        // touches only the vocab and ships ONE argmax row to the driver.
+        // No SQL oracle (iterative argmax + list rewriting isn't
+        // expressible in one DuckDB statement) — BpeLearnerSpec pins the
+        // semantics against a driver-side reference loop on the same
+        // corpus; the driver's rows-only check covers the registry path.
+        import s.implicits._
+        graft.functions.BpeLearner
+          .learnMerges(t(s, dir, "documents"), col("text"), 6)
+          .toDF("rank", "left_sym", "right_sym", "pair_count")
+          .select(col("rank").cast("long").as("rank"), col("left_sym"),
+            col("right_sym"), col("pair_count"))
+      },
+      None,
+      doc = "Tokenizer training: distributed BPE merge learning over the word vocab"),
+
+    Q(
       "t8_quality_topk",
       (s, dir) => {
         // PER-SOURCE QUALITY SELECTION: keep each source's top-5 docs by
