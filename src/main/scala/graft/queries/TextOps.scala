@@ -516,6 +516,49 @@ object TextOps {
       doc = "Tokenizer training: distributed BPE merge learning over the word vocab"),
 
     Q(
+      "t15_source_kl",
+      (s, dir) => {
+        // MIXTURE DIAGNOSTICS: KL(source token distribution ‖ corpus
+        // token distribution) per source — the domain-shift statistic a
+        // data recipe monitors when a new source joins the mix. Rides the
+        // one-pass graft_token_counts kernel (per-doc (tok, m) pairs, no
+        // per-instance aggregate), then one map-side-combined shuffle to
+        // (source, tok); the source-marginal join key is `source`
+        // (bounded — broadcastable), the corpus-marginal join is on `tok`
+        // (vocab-sized — AQE arbitrates, nothing forces broadcast). The
+        // ln() arguments are exact integer products, so only the final
+        // ~vocab-per-source-term sum is floating point.
+        val f = t(s, dir, "documents")
+          .select(col("source"),
+            explode(call_function("graft_token_counts", col("text"))).as("p"))
+          .groupBy(col("source"), col("p.tok"))
+          .agg(sum(col("p.m")).as("c"))
+        val ts = f.groupBy(col("source")).agg(sum(col("c")).as("ts"))
+        val ct = f.groupBy(col("tok")).agg(sum(col("c")).as("ct"))
+        val tt = f.agg(sum(col("c")).as("t"))
+        f.join(ct, "tok").join(broadcast(ts), "source").crossJoin(broadcast(tt))
+          .groupBy(col("source"))
+          .agg(
+            max(col("ts")).as("n_tokens"),
+            sum((col("c").cast("double") / col("ts")) *
+              (log((col("c") * col("t")).cast("double")) -
+                log((col("ts") * col("ct")).cast("double")))).as("kl_nats"))
+      },
+      Some("""WITH tok AS (SELECT source,
+                unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+              FROM documents),
+              f AS (SELECT source, tok, count(*)::BIGINT AS c FROM tok GROUP BY source, tok),
+              ts AS (SELECT source, sum(c)::BIGINT AS ts FROM f GROUP BY source),
+              ct AS (SELECT tok, sum(c)::BIGINT AS ct FROM f GROUP BY tok),
+              tt AS (SELECT sum(c)::BIGINT AS t FROM f)
+              SELECT f.source, max(ts.ts) AS n_tokens,
+                sum((f.c::DOUBLE / ts.ts) * (ln((f.c * tt.t)::DOUBLE) - ln((ts.ts * ct.ct)::DOUBLE))) AS kl_nats
+              FROM f JOIN ts ON f.source = ts.source
+                     JOIN ct ON f.tok = ct.tok CROSS JOIN tt
+              GROUP BY f.source"""),
+      doc = "Mixture: per-source KL divergence vs the corpus token distribution"),
+
+    Q(
       "t8_quality_topk",
       (s, dir) => {
         // PER-SOURCE QUALITY SELECTION: keep each source's top-5 docs by
