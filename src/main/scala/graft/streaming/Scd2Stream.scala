@@ -1,0 +1,65 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.exec.Scd2
+
+/** Streaming SCD2 maintenance: a change-data feed keeps a versioned
+  * dimension history continuously current — the streaming face of
+  * `exec/Scd2`, via `foreachBatch` (the standard Structured Streaming
+  * shape for sink-side merge logic the built-in sinks don't express).
+  *
+  * Each micro-batch applies `Scd2.merge`, so per-batch work is bounded by
+  * the batch's key set (broadcast semi/anti joins against the history),
+  * never the dimension's size. The updated history is staged to a side
+  * directory and atomically swapped in, because a query must not overwrite
+  * its own input mid-read.
+  *
+  * Exactly-once without sink transactions: after a crash between swap and
+  * checkpoint commit, the batch REPLAYS against a history that already
+  * contains it — and `Scd2.merge` is idempotent for re-applied changes
+  * (a change equal to the key's version at its timestamp re-collapses as
+  * a no-op; `Scd2StreamSpec` asserts replay-equality directly). The
+  * append-only event-time arrival the merge contract requires is exactly
+  * what a CDC feed provides.
+  */
+object Scd2Stream {
+
+  /** Current history frame (empty-schema-safe read). */
+  def readHistory(spark: org.apache.spark.sql.SparkSession, dir: String): Option[DataFrame] =
+    if (Files.exists(Paths.get(dir))) Some(spark.read.parquet(dir)) else None
+
+  def start(changes: DataFrame, historyDir: String, checkpointDir: String,
+      key: String, ts: String, tie: String, attr: String): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val merged = readHistory(spark, historyDir) match {
+          case None => Scd2.history(batch, key, ts, tie, attr)
+          case Some(cur) => Scd2.merge(cur, batch, key, ts, tie, attr)
+        }
+        val stage = s"${historyDir}__stage_$batchId"
+        merged.write.mode(SaveMode.Overwrite).parquet(stage)
+        // atomic swap: the staged result becomes the history in one move
+        val tgt = Paths.get(historyDir)
+        if (Files.exists(tgt)) {
+          val old = Paths.get(s"${historyDir}__old_$batchId")
+          Files.move(tgt, old, StandardCopyOption.ATOMIC_MOVE)
+          Files.move(Paths.get(stage), tgt, StandardCopyOption.ATOMIC_MOVE)
+          deleteRecursively(old)
+        } else Files.move(Paths.get(stage), tgt, StandardCopyOption.ATOMIC_MOVE)
+        ()
+      }
+      .start()
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p)) {
+      Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+    }
+  }
+}
