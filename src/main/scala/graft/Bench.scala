@@ -166,10 +166,35 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
     }
+    // Final fallback tier: with enough queries even 1-decimal formatting
+    // overflows the window (90 queries x ~23 chars > the ~1.9 KB budget).
+    // Then the line carries the SLOWEST queries that fit plus an explicit
+    // truncation marker — per-query perf judging needs the heavy hitters,
+    // and the sidecar always has the full map.
+    def slowestSubset(budget: Int): String = {
+      val bySlow = results.sortBy(-_._2)
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      var len = 0
+      bySlow.foreach { case (k, v) =>
+        val entry = k.length + fmt(v, 3).length + 4
+        if (len + entry <= budget) { picked += ((k, v)); len += entry }
+      }
+      val qs = picked.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_queries":${results.size},"queries_omitted":${results.size - picked.size},"queries":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
+    }
     val compact = {
       val l3 = line(3)
-      if (l3.length <= 1850) l3
-      else { val l2 = line(2); if (l2.length <= 1900) l2 else line(1) }
+      if (l3.length <= 1820) l3
+      else {
+        val l2 = line(2)
+        if (l2.length <= 1820) l2
+        else {
+          val l1 = line(1)
+          if (l1.length <= 1820) l1 else slowestSubset(1600)
+        }
+      }
     }
     val detailJson =
       if (!detail) ""
