@@ -57,6 +57,92 @@ object PackOps {
                      (start_tok // 512)::BIGINT AS seq_idx,
                      (start_tok % 512)::BIGINT AS tok_offset
               FROM c"""),
-      doc = "Packing: token-budget concat-then-chunk sequence assignment per pack stream")
+      doc = "Packing: token-budget concat-then-chunk sequence assignment per pack stream"),
+
+    Q(
+      "ds1_shuffle_shards",
+      (s, dir) => {
+        // DETERMINISTIC TRAINING SHUFFLE: the write-side step that turns a
+        // filtered corpus into S shuffled shards with a reproducible
+        // within-shard order — hash-derived, so any re-run (or a resumed
+        // 100 TB job) lands every document in the same shard at the same
+        // position, with no RNG state to checkpoint. shard = first byte of
+        // md5(doc_id) mod S (uniform, content-independent); pos = rank of
+        // the md5 within the shard (collision-tiebroken by doc_id), which
+        // IS the shuffled order — md5 rank is uncorrelated with corpus
+        // order, the property a training shuffle exists to provide.
+        // Plan: scan -> one hash exchange on shard -> per-shard sort. At
+        // 100 TB, S is thousands (shards are ~GB-sized training files),
+        // so the sort parallelism is the shard count and each task sorts
+        // one output file's worth — the same physical shape as
+        // repartition(S) + sortWithinPartitions + per-shard write.
+        val nShards = 16L
+        val h = md5(col("doc_id").cast("string"))
+        val shard = pmod(conv(substring(h, 1, 2), 16, 10).cast("long"), lit(nShards))
+        val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), h.as("h"), shard.as("shard"))
+          .withColumn("pos", row_number().over(w).cast("long") - 1L)
+          .select(col("doc_id"), col("source"), col("shard"), col("pos"))
+      },
+      Some("""WITH d AS (
+                SELECT doc_id, source, md5(doc_id::VARCHAR) AS h,
+                       (((instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 16
+                         + instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1) % 16)::BIGINT AS shard
+                FROM documents)
+              SELECT doc_id, source, shard,
+                     (row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1)::BIGINT AS pos
+              FROM d"""),
+      doc = "Sharding: deterministic hash shuffle into S shards with reproducible order"),
+
+    Q(
+      "ck1_chunk_overlap",
+      (s, dir) => {
+        // OVERLAPPING-WINDOW CHUNKING: the RAG / context-window step that
+        // splits each document's token stream into fixed-size windows
+        // (W=64 tokens) advancing by a stride (T=48, i.e. 16-token
+        // overlap so no boundary-spanning content is lost to a cut).
+        // Chunk count is 1 for docs under W tokens, else
+        // ceil((n-W)/T)+1 — the last window is allowed to be short.
+        // Pure narrow pipeline: scan -> tokenize -> explode an index
+        // sequence -> slice. No shuffle anywhere; the explode fan-out is
+        // ~n/T per doc, and at 100 TB the stage parallelism is the input
+        // split count. Token slicing composes array HOFs (codegen'd) —
+        // the text is tokenized ONCE per doc, not once per chunk.
+        val W = 64
+        val T = 48
+        val toks = filter(split(col("text"), "\\s+"), x => x =!= lit(""))
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), toks.as("toks"))
+          .withColumn("n", size(col("toks")).cast("long"))
+          .withColumn("nchunks",
+            when(col("n") <= W, 1L)
+              .otherwise(ceil((col("n") - W).cast("double") / T).cast("long") + 1L))
+        d.select(col("doc_id"), col("toks"), col("n"),
+            explode(sequence(lit(0L), col("nchunks") - 1L)).as("chunk_idx"))
+          .select(
+            col("doc_id"), col("chunk_idx"),
+            array_join(slice(col("toks"), (col("chunk_idx") * T + 1).cast("int"), lit(W)), " ")
+              .as("chunk_text"),
+            least(lit(W.toLong), col("n") - col("chunk_idx") * T).as("chunk_toks"))
+      },
+      Some("""WITH d AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+                FROM documents),
+              c AS (
+                SELECT doc_id, toks, len(toks)::BIGINT AS n,
+                       CASE WHEN len(toks) <= 64 THEN 1::BIGINT
+                            ELSE ceil((len(toks) - 64) / 48.0)::BIGINT + 1 END AS nchunks
+                FROM d),
+              e AS (
+                SELECT doc_id, toks, n,
+                       unnest(generate_series(0, nchunks - 1))::BIGINT AS chunk_idx
+                FROM c)
+              SELECT doc_id, chunk_idx,
+                     array_to_string(toks[(chunk_idx * 48 + 1)::INT : (chunk_idx * 48 + 64)::INT], ' ') AS chunk_text,
+                     least(64, n - chunk_idx * 48)::BIGINT AS chunk_toks
+              FROM e"""),
+      doc = "Chunking: overlapping W=64/stride-48 token windows per document, shuffle-free")
   )
 }

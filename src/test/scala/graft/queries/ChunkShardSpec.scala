@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Semantic contracts for the batch-assembly ops the oracle's hash compare
+  * can't articulate: ck1's windows must actually overlap/cover the token
+  * stream, and ds1's shard/pos assignment must be a permutation that is
+  * reproducible and decorrelated from corpus order.
+  */
+class ChunkShardSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("ck1: chunks cover every token in order with exactly stride-W overlap") {
+    import spark.implicits._
+    // 160 tokens: W=64, T=48 -> ceil((160-64)/48)+1 = 3 chunks
+    val toks = (0 until 160).map(i => s"w$i")
+    val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    df.createOrReplaceTempView("___ck1_doc")
+    val out = Registry.byName("ck1_chunk_overlap")
+      .fn(spark, sf) // plan shape only; rebuild on the fixture below
+    // run the same op body against the fixture by swapping the source:
+    val chunks = {
+      val W = 64; val T = 48
+      val tk = filter(split(col("text"), "\\s+"), x => x =!= lit(""))
+      val d = df.select(col("doc_id"), tk.as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("nchunks",
+          when(col("n") <= W, 1L)
+            .otherwise(ceil((col("n") - W).cast("double") / T).cast("long") + 1L))
+      d.select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0L), col("nchunks") - 1L)).as("chunk_idx"))
+        .select(col("chunk_idx"),
+          split(array_join(slice(col("toks"), (col("chunk_idx") * T + 1).cast("int"), lit(W)), " "), " ").as("ctoks"))
+        .orderBy("chunk_idx").collect()
+    }
+    assert(chunks.length == 3)
+    val c = chunks.map(_.getSeq[String](1))
+    assert(c(0) == toks.slice(0, 64))
+    assert(c(1) == toks.slice(48, 112))
+    assert(c(2) == toks.slice(96, 160))
+    // 16-token overlap between consecutive windows
+    assert(c(0).takeRight(16) == c(1).take(16))
+    assert(c(1).takeRight(16) == c(2).take(16))
+    // registry plan sanity on real data: per-doc chunk indexes are dense
+    // and every chunk under the last is the full W tokens
+    val real = Registry.byName("ck1_chunk_overlap").fn(spark, sf)
+    val bad = real.groupBy("doc_id")
+      .agg(max("chunk_idx").as("mx"), count(lit(1)).as("n"),
+        sum(when(col("chunk_toks") === 64, 1L).otherwise(0L)).as("full"))
+      .filter(col("n") =!= col("mx") + 1 ||
+        (col("full") < col("n") - 1))
+      .count()
+    assert(bad == 0, "chunk indexes not dense or a non-terminal chunk is short")
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "chunk_idx", "chunk_text", "chunk_toks"))
+  }
+
+  test("ds1: shard/pos is a reproducible permutation, decorrelated from corpus order") {
+    val q = Registry.byName("ds1_shuffle_shards")
+    val a = q.fn(spark, sf)
+    // per-shard positions are dense 0..count-1
+    val holes = a.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"))
+      .filter(col("mn") =!= 0L || col("mx") =!= col("n") - 1)
+      .count()
+    assert(holes == 0, "per-shard pos is not dense from 0")
+    // all 16 shards populated and no shard grossly overloaded (hash balance)
+    val counts = a.groupBy("shard").count().collect().map(_.getLong(1))
+    assert(counts.length == 16)
+    assert(counts.max < counts.min * 3L, s"shard skew: ${counts.mkString(",")}")
+    // reproducible: identical across two independent builds
+    val b = q.fn(spark, sf)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // decorrelated from corpus order: within a shard, consecutive positions
+    // must not be consecutive doc_ids (a sorted-by-id "shuffle" is not a
+    // shuffle). Spearman-free check: fraction of adjacent (pos, pos+1)
+    // pairs whose doc_id delta is +1 stays near chance.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("pos")
+    val adjacent = a.withColumn("nxt", lead("doc_id", 1).over(w))
+      .filter(col("nxt").isNotNull)
+    val runs = adjacent.filter(col("nxt") === col("doc_id") + 1).count()
+    val total = adjacent.count()
+    assert(runs.toDouble / total < 0.05,
+      s"shuffled order preserves corpus adjacency: $runs/$total")
+  }
+}
