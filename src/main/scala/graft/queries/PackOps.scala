@@ -143,6 +143,38 @@ object PackOps {
                      array_to_string(toks[(chunk_idx * 48 + 1)::INT : (chunk_idx * 48 + 64)::INT], ' ') AS chunk_text,
                      least(64, n - chunk_idx * 48)::BIGINT AS chunk_toks
               FROM e"""),
-      doc = "Chunking: overlapping W=64/stride-48 token windows per document, shuffle-free")
+      doc = "Chunking: overlapping W=64/stride-48 token windows per document, shuffle-free"),
+
+    Q(
+      "ds2_train_eval_split",
+      (s, dir) => {
+        // DETERMINISTIC TRAIN/VAL/TEST SPLIT: hash-bucket each document
+        // into 96/2/2 by the first 16 bits of md5(doc_id) mod 100 — the
+        // split survives re-runs, corpus reorderings, and incremental
+        // appends (a new document's split is a pure function of its id,
+        // so yesterday's eval docs never migrate into today's train
+        // set, the leak an index-based split creates). Per-(source,
+        // split) summary keeps the result audit-sized; the whole plan
+        // is scan -> project -> one map-side-combined aggregation.
+        val h = md5(col("doc_id").cast("string"))
+        val b = pmod(conv(substring(h, 1, 4), 16, 10).cast("long"), lit(100L))
+        t(s, dir, "documents")
+          .select(col("source"), col("n_chars"),
+            when(b < 96, "train").when(b < 98, "val").otherwise("test").as("split"))
+          .groupBy(col("source"), col("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("tot_chars"))
+      },
+      Some("""WITH d AS (
+                SELECT source, n_chars,
+                       (((instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 4096
+                         + (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1) * 256
+                         + (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), 3, 1)) - 1) * 16
+                         + instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), 4, 1)) - 1) % 100) AS b
+                FROM documents)
+              SELECT source,
+                     CASE WHEN b < 96 THEN 'train' WHEN b < 98 THEN 'val' ELSE 'test' END AS split,
+                     count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS tot_chars
+              FROM d GROUP BY 1, 2"""),
+      doc = "Split: leak-free deterministic 96/2/2 train/val/test assignment by id hash")
   )
 }

