@@ -32,6 +32,19 @@ object GraftExtensions {
     }
   }
 
+  /** Plan-time string-array parameter (vocabularies): foldable literal
+    * evaluated once at build, baked into the expression.
+    */
+  private def stringArrayArg(e: Expression, fn: String): Array[String] = {
+    require(e.foldable, s"$fn: vocab must be a literal array of strings, got $e")
+    e.eval(null) match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        a.toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+      case v => throw new IllegalArgumentException(s"$fn: expected array literal, got $v")
+    }
+  }
+
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_simhash60" -> (es => Simhash60(es.head)),
     "graft_shingle_hashes" -> (es => ShingleHashes(es.head)),
@@ -49,6 +62,8 @@ object GraftExtensions {
       intArg(es(2), "graft_minhash_bands"),
       intArg(es(3), "graft_minhash_bands"))),
     "graft_bloom_might_contain" -> (es => BloomMightContainLong(es(0), es(1))),
+    "graft_greedy_pieces" -> (es => GreedyPieceStats(es(0),
+      stringArrayArg(es(1), "graft_greedy_pieces"))),
     "graft_lsh_bands" -> (es => LshBands(es(0),
       intArg(es(1), "graft_lsh_bands"),
       intArg(es(2), "graft_lsh_bands"),

@@ -135,6 +135,35 @@ case class RepStats(child: Expression) extends NativeTextExpression {
   override def prettyName: String = "graft_rep_stats"
 }
 
+/** Greedy longest-prefix piece encoding stats against a plan-time
+  * vocabulary (`array<long>`: [n_pieces, covered_chars, word_chars]) —
+  * the tokenizer APPLY step. The vocab arrives as a foldable literal
+  * (collected + broadcast-in-plan, like MinhashBands' band counts), is
+  * sorted longest-first/lex at construction so the kernel's first
+  * prefix hit IS the greedy choice, and rides into generated code as a
+  * reference object — one static call per row, no per-piece expression
+  * evaluation.
+  */
+case class GreedyPieceStats(child: Expression, vocab: Array[String])
+    extends NativeTextExpression {
+  private lazy val sortedVocab: Array[String] =
+    vocab.sortWith((a, b) => a.length > b.length || (a.length == b.length && a < b))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // kernelCall is unused: doGenCode needs the vocab reference object
+  override protected def kernelCall(c: String): String =
+    throw new IllegalStateException("GreedyPieceStats generates via doGenCode")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vref = ctx.addReferenceObj("greedyVocab", sortedVocab, "java.lang.String[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.TextKernels.greedyPieceStats($c, $vref)")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.greedyPieceStats(input.asInstanceOf[UTF8String], sortedVocab)
+  override protected def withNewChildInternal(newChild: Expression): GreedyPieceStats =
+    copy(child = newChild)
+  override def prettyName: String = "graft_greedy_pieces"
+}
+
 /** n-gram shingle strings with multiplicity (see `TextFunctions.shingles`);
   * n is a plan-time constant baked into the generated code (3 = MinHash
   * family default, 8 = span-level dedup).

@@ -275,4 +275,45 @@ object TextKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Greedy longest-prefix piece encoding of the token stream against a
+    * vocabulary (wordpiece-style tokenizer APPLY step). `vocab` must be
+    * pre-sorted longest-first with lexicographic tie-break — the first
+    * entry that prefixes the remaining word is by construction the
+    * greedy choice (the same selection the oracle's
+    * `ORDER BY len(v) DESC, v LIMIT 1` makes). A position no vocab entry
+    * covers consumes one character as an unknown piece. Returns
+    * `[n_pieces, covered_chars, word_chars]`: pieces emitted, characters
+    * consumed by vocab pieces, total non-whitespace characters.
+    * Positions are UTF-16 units (== codepoints == DuckDB's reading on
+    * the ASCII synthetic corpus; the shared-kernel contract above).
+    */
+  def greedyPieceStats(text: UTF8String, vocab: Array[String]): ArrayData = {
+    val toks = text.toString.split("\\s+")
+    var pieces = 0L
+    var covered = 0L
+    var wchars = 0L
+    var ti = 0
+    while (ti < toks.length) {
+      val w = toks(ti)
+      if (w.nonEmpty) {
+        wchars += w.length
+        var i = 0
+        while (i < w.length) {
+          var matched: String = null
+          var k = 0
+          while (matched == null && k < vocab.length) {
+            val v = vocab(k)
+            if (v.length <= w.length - i && w.startsWith(v, i)) matched = v
+            k += 1
+          }
+          if (matched != null) { covered += matched.length; i += matched.length }
+          else i += 1
+          pieces += 1L
+        }
+      }
+      ti += 1
+    }
+    new GenericArrayData(Array(pieces, covered, wchars))
+  }
 }

@@ -930,6 +930,60 @@ object TextOps {
                        / 1e6 / sum(p.m)::DOUBLE AS avg_nll
               FROM p JOIN f ON p.tok = f.tok CROSS JOIN n
               GROUP BY p.doc_id"""),
-      doc = "Quality: unigram-LM per-doc perplexity scoring, integer-quantized nll")
+      doc = "Quality: unigram-LM per-doc perplexity scoring, integer-quantized nll"),
+
+    Q(
+      "bpe2_greedy_encode",
+      (s, dir) => {
+        // TOKENIZER APPLY (closes the loop bpe1's merge LEARNING opened):
+        // greedy longest-prefix piece encoding of every document against
+        // a corpus-derived vocabulary — the wordpiece-family inference
+        // step a pretraining pipeline runs to get token budgets from the
+        // real tokenizer rather than the whitespace proxy. Vocab = the
+        // top-64 corpus tokens (count-desc, lex tie-break), collected
+        // once (64 strings — the sim7 codebook pattern) and baked into
+        // the plan; encoding is ONE codegen'd kernel call per document
+        // (the vocab rides as a codegen reference object), so the corpus
+        // pass stays a narrow scan with zero shuffles and zero
+        // per-piece expression evaluation. At a real 50k-entry vocab the
+        // kernel's linear probe becomes a trie — the plan shape
+        // (broadcast vocab constant + per-row kernel) is unchanged.
+        val vocab: Seq[String] = t(s, dir, "documents")
+          .select(explode(call_function("graft_token_counts", col("text"))).as("p"))
+          .groupBy(col("p.tok")).agg(sum(col("p.m")).as("c"))
+          .orderBy(col("c").desc, col("tok")).limit(64)
+          .collect().map(_.getString(0)).toSeq
+        val st = call_function("graft_greedy_pieces", col("text"), typedlit(vocab))
+        t(s, dir, "documents")
+          .select(col("doc_id"), st.as("st"))
+          .select(col("doc_id"),
+            col("st").getItem(0).as("n_pieces"),
+            col("st").getItem(1).as("covered_chars"),
+            col("st").getItem(2).as("word_chars"))
+      },
+      Some("""WITH RECURSIVE tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+                FROM documents),
+              cnt AS (SELECT tok, count(*)::BIGINT AS c FROM tok GROUP BY tok),
+              vocab AS (SELECT tok AS v FROM cnt ORDER BY c DESC, tok LIMIT 64),
+              st AS (
+                SELECT doc_id, tok AS w, 1 AS i, 0::BIGINT AS pieces, 0::BIGINT AS covered
+                FROM tok
+                UNION ALL
+                SELECT doc_id, w, (i + coalesce(len(best), 1))::INT, pieces + 1,
+                       covered + coalesce(len(best), 0)
+                FROM (SELECT st.*,
+                        (SELECT v FROM vocab
+                         WHERE len(v) <= len(st.w) - st.i + 1
+                           AND substr(st.w, st.i, len(v)) = v
+                         ORDER BY len(v) DESC, v LIMIT 1) AS best
+                      FROM st WHERE i <= len(w)) s)
+              SELECT doc_id, sum(pieces)::BIGINT AS n_pieces,
+                     sum(covered)::BIGINT AS covered_chars,
+                     sum(len(w))::BIGINT AS word_chars
+              FROM st WHERE i > len(w)
+              GROUP BY doc_id"""),
+      doc = "Tokenizer apply: greedy longest-prefix piece encode vs corpus vocab, one kernel pass")
   )
 }
