@@ -37,21 +37,26 @@ object Scd2Stream {
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val merged = readHistory(spark, historyDir) match {
-          case None => Scd2.history(batch, key, ts, tie, attr)
-          case Some(cur) => Scd2.merge(cur, batch, key, ts, tie, attr)
+        // an empty micro-batch (all rows filtered upstream) must not
+        // write an empty history: parquet emits no part files for it and
+        // the next batch's readHistory would fail schema inference
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val merged = readHistory(spark, historyDir) match {
+            case None => Scd2.history(batch, key, ts, tie, attr)
+            case Some(cur) => Scd2.merge(cur, batch, key, ts, tie, attr)
+          }
+          val stage = s"${historyDir}__stage_$batchId"
+          merged.write.mode(SaveMode.Overwrite).parquet(stage)
+          // atomic swap: the staged result becomes the history in one move
+          val tgt = Paths.get(historyDir)
+          if (Files.exists(tgt)) {
+            val old = Paths.get(s"${historyDir}__old_$batchId")
+            Files.move(tgt, old, StandardCopyOption.ATOMIC_MOVE)
+            Files.move(Paths.get(stage), tgt, StandardCopyOption.ATOMIC_MOVE)
+            deleteRecursively(old)
+          } else Files.move(Paths.get(stage), tgt, StandardCopyOption.ATOMIC_MOVE)
         }
-        val stage = s"${historyDir}__stage_$batchId"
-        merged.write.mode(SaveMode.Overwrite).parquet(stage)
-        // atomic swap: the staged result becomes the history in one move
-        val tgt = Paths.get(historyDir)
-        if (Files.exists(tgt)) {
-          val old = Paths.get(s"${historyDir}__old_$batchId")
-          Files.move(tgt, old, StandardCopyOption.ATOMIC_MOVE)
-          Files.move(Paths.get(stage), tgt, StandardCopyOption.ATOMIC_MOVE)
-          deleteRecursively(old)
-        } else Files.move(Paths.get(stage), tgt, StandardCopyOption.ATOMIC_MOVE)
         ()
       }
       .start()

@@ -199,7 +199,36 @@ object StreamBench {
       StreamResult("ws4_interval_join", sec, st.nRows, ok)
     }
 
-    Seq(ws1, ws2, ws3, ws4)
+    // ws5: SCD2 maintenance via foreachBatch — the signup change feed
+    // keeps the versioned tier dimension continuously current. Wall time
+    // includes the per-batch history rewrite (the honest cost of a
+    // transactionless parquet dimension — a table format with file-level
+    // merge would rewrite only matched files; the JOIN work per batch is
+    // already bounded by the batch's key set). Verdict: the maintained
+    // history must equal the from-scratch batch build over the full feed,
+    // bitwise.
+    val ws5 = {
+      val hist = work.resolve("hist_ws5").toString
+      val ckd = Files.createDirectories(work.resolve("ck_ws5")).toString
+      def tier = when(col("value") < 5, "bronze")
+        .when(col("value") < 15, "silver").otherwise(lit("gold")).as("tier")
+      def feed(df: org.apache.spark.sql.DataFrame) =
+        df.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts"), col("event_id"), tier)
+      val q = Scd2Stream.start(
+        feed(EventStreaming.fileStream(spark, st.cleanDir, maxFilesPerTrigger)),
+        hist, ckd, "user_id", "ts", "event_id", "tier")
+      val (_, sec) = timed(q.processAllAvailable())
+      q.stop()
+      val got = spark.read.parquet(hist)
+      val want = graft.exec.Scd2.history(
+        feed(events), "user_id", "ts", "event_id", "tier")
+      val nChanges = feed(events).count()
+      val ok = got.except(want).isEmpty && want.except(got).isEmpty
+      StreamResult("ws5_scd2_maintain", sec, nChanges, ok)
+    }
+
+    Seq(ws1, ws2, ws3, ws4, ws5)
   }
 
   def main(args: Array[String]): Unit = {

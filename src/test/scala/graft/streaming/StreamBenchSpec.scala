@@ -10,11 +10,12 @@ import graft.SparkTestBase
   */
 class StreamBenchSpec extends SparkTestBase {
 
-  test("staged file-arrival replay matches batch for all three streams") {
+  test("staged file-arrival replay matches batch for all five streams") {
     val results = StreamBench.run(spark, "/root/testdata/sf0.001", nBuckets = 8,
       maxFilesPerTrigger = 2)
     assert(results.map(_.name) ==
-      Seq("ws1_windowed_agg", "ws2_sessionize", "ws3_dedup", "ws4_interval_join"))
+      Seq("ws1_windowed_agg", "ws2_sessionize", "ws3_dedup", "ws4_interval_join",
+        "ws5_scd2_maintain"))
     results.foreach { r =>
       assert(r.ok, s"${r.name}: stream output diverged from batch")
       assert(r.sec > 0 && r.rows > 0)
