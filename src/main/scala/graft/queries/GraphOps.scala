@@ -31,14 +31,31 @@ object GraphOps {
     */
   def pagerank(edges: DataFrame, iters: Int): DataFrame = {
     val spark = edges.sparkSession
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
+    // GraphX/Pregel layout: the adjacency list (outdeg folded in) is
+    // hash-partitioned by src ONCE and checkpointed; each iteration then
+    // shuffles only the |nodes|-sized rank vector into that partitioning
+    // (localCheckpoint preserves outputPartitioning, so EnsureRequirements
+    // inserts no exchange on the edge side). The per-iteration edge
+    // re-shuffle this replaces was the dominant sf100 cost — the
+    // contribution aggregation's dst exchange is the one irreducible
+    // |edges| shuffle per iteration (that IS the sparse matrix-vector
+    // product). An earlier form also checkpointed the full directed
+    // STRING-keyed edge list, which blew local disk at sf100.
+    val e = edges.select(col("src"), col("dst"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val nodes = e.select(col("src").as("id")).distinct().localCheckpoint(false)
+    // the src-join's own output partitioning (hash on src) survives the
+    // checkpoint, and HashPartitioning(src, anyN) satisfies the iteration
+    // joins' ClusteredDistribution — EnsureRequirements shuffles only the
+    // rank side, at the checkpoint's partition count
+    val adj = e.join(deg, "src").localCheckpoint(false)
+    // nodes/deg re-read the src-partitioned checkpoint: distinct(src)
+    // needs no exchange there, and nothing recomputes the edge derivation
+    val nodes = adj.select(col("src").as("id")).distinct().localCheckpoint(false)
     val n = nodes.count()
     val teleport = (150000000000L / n) * 1L // 0.15 * 1e12, floored once
     var pr = nodes.select(col("id"), lit(1000000000000L / n).as("pr"))
     for (_ <- 1 to iters) {
-      val inflow = e.join(deg, "src").join(pr, pr("id") === e("src"))
+      val inflow = adj.join(pr, pr("id") === adj("src"))
         .select(col("dst"), expr("pr div outdeg").as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("inflow"))
       pr = nodes.join(inflow, nodes("id") === inflow("dst"), "left")
@@ -53,19 +70,25 @@ object GraphOps {
       "g1_pagerank",
       (s, dir) => {
         // undirected bipartite co-purchase graph: c<->s whenever customer
-        // c ordered a line from supplier s. Namespaced string ids keep the
-        // two key spaces disjoint.
+        // c ordered a line from supplier s. Integer namespacing (2k for
+        // customers, 2k+1 for suppliers) keeps the key spaces disjoint at
+        // 16 bytes/edge — the string form ("c123") cost ~2.5x the block
+        // store and hit disk-full at sf100. The distinct pair set is
+        // checkpointed because pagerank's adjacency build consumes the
+        // edge frame twice (degree + probe); pagerank then pins the
+        // src-partitioned adjacency for the iterations.
         val ce = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
           .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
             col("l_orderkey") === col("o_orderkey"))
-          .select(concat(lit("c"), col("o_custkey")).as("c"),
-            concat(lit("s"), col("l_suppkey")).as("s"))
+          .select((col("o_custkey").cast("long") * 2).as("c"),
+            (col("l_suppkey").cast("long") * 2 + 1).as("s"))
           .distinct()
+          .localCheckpoint(false)
         val edges = ce.select(col("c").as("src"), col("s").as("dst"))
           .unionAll(ce.select(col("s").as("src"), col("c").as("dst")))
         pagerank(edges, 3)
       },
-      Some("""WITH ce AS (SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+      Some("""WITH ce AS (SELECT DISTINCT 2 * o_custkey AS c, 2 * l_suppkey + 1 AS s
                 FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
               edges AS (SELECT c AS src, s AS dst FROM ce
                         UNION ALL SELECT s AS src, c AS dst FROM ce),
