@@ -114,6 +114,6 @@ object GraphOps {
               p3 AS (SELECT nodes.id,
                        ((150000000000 // nn.n) + (85 * coalesce(c3.inflow, 0)) // 100) AS pr
                      FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.id = nodes.id)
-              SELECT id, pr FROM p3"""),
+              SELECT id, CAST(pr AS BIGINT) AS pr FROM p3"""),
       doc = "Graph: fixed-point integer PageRank (3 unrolled iterations, hash-exact)"))
 }

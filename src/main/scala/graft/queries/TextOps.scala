@@ -279,12 +279,25 @@ object TextOps {
             shiftright(col("mid"), 33).as("pid"),
             col("mid").bitwiseAND(lit((1L << 33) - 1)).as("local"))
           .localCheckpoint(false)
-        val offsets = sorted.groupBy(col("pid"))
-          .agg(count(lit(1)).as("pn"))
-          .select(col("pid"),
-            (sum(col("pn")).over(Window.orderBy(col("pid"))) - col("pn")).as("off"))
-        val ranked = sorted.join(broadcast(offsets), Seq("pid"))
-          .select(col("tok"), (col("off") + col("local") + 1L).as("rank"))
+        // Per-partition row counts → rank offsets. The frame is ONE row
+        // per mid-assignment partition (≤ the stage's partition count,
+        // tens of rows at any corpus size — the bound is cluster width,
+        // not data volume), so the cumsum happens on the driver: the
+        // alternative, an unpartitioned window, moves the same rows to
+        // one partition anyway but logs a WindowExec warning on every
+        // run (and a constant partitionBy key gets folded away by the
+        // optimizer, re-emptying the spec). The collected map rides back
+        // into the plan as a literal, turning the rank computation into
+        // a pure projection — no offsets join, no broadcast, no window.
+        val offMap: Map[Long, Long] = {
+          val counts = sorted.groupBy(col("pid"))
+            .agg(count(lit(1)).as("pn")).collect()
+            .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+          var acc = 0L
+          counts.map { case (pid, pn) => val o = acc; acc += pn; pid -> o }.toMap
+        }
+        val ranked = sorted.select(col("tok"),
+          (element_at(typedlit(offMap), col("pid")) + col("local") + 1L).as("rank"))
         docTok.join(ranked, Seq("tok"))
           .groupBy(col("doc_id"))
           .agg(
@@ -501,10 +514,16 @@ object TextOps {
         // tokenizer-training pass, run over the corpus's (word, count)
         // vocab — one token shuffle total, then each merge iteration
         // touches only the vocab and ships ONE argmax row to the driver.
-        // No SQL oracle (iterative argmax + list rewriting isn't
-        // expressible in one DuckDB statement) — BpeLearnerSpec pins the
-        // semantics against a driver-side reference loop on the same
-        // corpus; the driver's rows-only check covers the registry path.
+        // Oracle: the 6 merge rounds unroll into chained CTEs (the sim5
+        // unrolled-Lloyd pattern) — each round is pair-count aggregate →
+        // argmax (count desc, lex tie-break) → left-to-right
+        // non-overlapping rewrite, expressed over a long-format
+        // (word, pos, symbol) frame with gaps-and-islands windows: a
+        // position merges iff it matches the pair AND sits at an even
+        // offset within its maximal run of consecutive matches (the
+        // window-function equivalent of the engine's aggregate-HOF scan).
+        // BpeLearnerSpec additionally pins the semantics against a
+        // driver-side reference loop.
         import s.implicits._
         graft.functions.BpeLearner
           .learnMerges(t(s, dir, "documents"), col("text"), 6)
@@ -512,7 +531,128 @@ object TextOps {
           .select(col("rank").cast("long").as("rank"), col("left_sym"),
             col("right_sym"), col("pair_count"))
       },
-      None,
+      Some("""WITH w0 AS (
+                SELECT w, count(*)::BIGINT AS cnt FROM (
+                  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w
+                  FROM documents) GROUP BY w),
+              s0 AS (
+                SELECT w, cnt, generate_subscripts(cs, 1) AS i, unnest(cs) AS sym
+                FROM (SELECT w, cnt, regexp_split_to_array(w, '') AS cs FROM w0)),
+              p1 AS (SELECT sym AS l, lead(sym) OVER (PARTITION BY w ORDER BY i) AS r, cnt FROM s0),
+              t1 AS (SELECT l, r, sum(cnt)::BIGINT AS n FROM p1 WHERE r IS NOT NULL
+                      GROUP BY l, r ORDER BY n DESC, l, r LIMIT 1),
+              x1 AS (SELECT s.w, s.cnt, s.i, s.sym,
+                             lead(s.sym) OVER (PARTITION BY s.w ORDER BY s.i) AS nxt,
+                             coalesce(s.sym = t.l AND
+                               lead(s.sym) OVER (PARTITION BY s.w ORDER BY s.i) = t.r, FALSE) AS matched
+                      FROM s0 s CROSS JOIN t1 t),
+              y1 AS (SELECT *, CASE WHEN matched
+                               THEN i - row_number() OVER (PARTITION BY w, matched ORDER BY i) END AS island
+                      FROM x1),
+              m1 AS (SELECT w, cnt, i, sym, nxt,
+                             matched AND (i - min(i) OVER (PARTITION BY w, island)) % 2 = 0 AS do_merge
+                      FROM y1),
+              s1 AS (SELECT w, cnt, row_number() OVER (PARTITION BY w ORDER BY i) AS i,
+                             CASE WHEN do_merge THEN sym || nxt ELSE sym END AS sym
+                      FROM (SELECT m.*, lag(do_merge, 1, FALSE) OVER (PARTITION BY w ORDER BY i) AS consumed
+                            FROM m1 m) WHERE NOT consumed),
+              p2 AS (SELECT sym AS l, lead(sym) OVER (PARTITION BY w ORDER BY i) AS r, cnt FROM s1),
+              t2 AS (SELECT l, r, sum(cnt)::BIGINT AS n FROM p2 WHERE r IS NOT NULL
+                      GROUP BY l, r ORDER BY n DESC, l, r LIMIT 1),
+              x2 AS (SELECT s.w, s.cnt, s.i, s.sym,
+                             lead(s.sym) OVER (PARTITION BY s.w ORDER BY s.i) AS nxt,
+                             coalesce(s.sym = t.l AND
+                               lead(s.sym) OVER (PARTITION BY s.w ORDER BY s.i) = t.r, FALSE) AS matched
+                      FROM s1 s CROSS JOIN t2 t),
+              y2 AS (SELECT *, CASE WHEN matched
+                               THEN i - row_number() OVER (PARTITION BY w, matched ORDER BY i) END AS island
+                      FROM x2),
+              m2 AS (SELECT w, cnt, i, sym, nxt,
+                             matched AND (i - min(i) OVER (PARTITION BY w, island)) % 2 = 0 AS do_merge
+                      FROM y2),
+              s2 AS (SELECT w, cnt, row_number() OVER (PARTITION BY w ORDER BY i) AS i,
+                             CASE WHEN do_merge THEN sym || nxt ELSE sym END AS sym
+                      FROM (SELECT m.*, lag(do_merge, 1, FALSE) OVER (PARTITION BY w ORDER BY i) AS consumed
+                            FROM m2 m) WHERE NOT consumed),
+              p3 AS (SELECT sym AS l, lead(sym) OVER (PARTITION BY w ORDER BY i) AS r, cnt FROM s2),
+              t3 AS (SELECT l, r, sum(cnt)::BIGINT AS n FROM p3 WHERE r IS NOT NULL
+                      GROUP BY l, r ORDER BY n DESC, l, r LIMIT 1),
+              x3 AS (SELECT s.w, s.cnt, s.i, s.sym,
+                             lead(s.sym) OVER (PARTITION BY s.w ORDER BY s.i) AS nxt,
+                             coalesce(s.sym = t.l AND
+                               lead(s.sym) OVER (PARTITION BY s.w ORDER BY s.i) = t.r, FALSE) AS matched
+                      FROM s2 s CROSS JOIN t3 t),
+              y3 AS (SELECT *, CASE WHEN matched
+                               THEN i - row_number() OVER (PARTITION BY w, matched ORDER BY i) END AS island
+                      FROM x3),
+              m3 AS (SELECT w, cnt, i, sym, nxt,
+                             matched AND (i - min(i) OVER (PARTITION BY w, island)) % 2 = 0 AS do_merge
+                      FROM y3),
+              s3 AS (SELECT w, cnt, row_number() OVER (PARTITION BY w ORDER BY i) AS i,
+                             CASE WHEN do_merge THEN sym || nxt ELSE sym END AS sym
+                      FROM (SELECT m.*, lag(do_merge, 1, FALSE) OVER (PARTITION BY w ORDER BY i) AS consumed
+                            FROM m3 m) WHERE NOT consumed),
+              p4 AS (SELECT sym AS l, lead(sym) OVER (PARTITION BY w ORDER BY i) AS r, cnt FROM s3),
+              t4 AS (SELECT l, r, sum(cnt)::BIGINT AS n FROM p4 WHERE r IS NOT NULL
+                      GROUP BY l, r ORDER BY n DESC, l, r LIMIT 1),
+              x4 AS (SELECT s.w, s.cnt, s.i, s.sym,
+                             lead(s.sym) OVER (PARTITION BY s.w ORDER BY s.i) AS nxt,
+                             coalesce(s.sym = t.l AND
+                               lead(s.sym) OVER (PARTITION BY s.w ORDER BY s.i) = t.r, FALSE) AS matched
+                      FROM s3 s CROSS JOIN t4 t),
+              y4 AS (SELECT *, CASE WHEN matched
+                               THEN i - row_number() OVER (PARTITION BY w, matched ORDER BY i) END AS island
+                      FROM x4),
+              m4 AS (SELECT w, cnt, i, sym, nxt,
+                             matched AND (i - min(i) OVER (PARTITION BY w, island)) % 2 = 0 AS do_merge
+                      FROM y4),
+              s4 AS (SELECT w, cnt, row_number() OVER (PARTITION BY w ORDER BY i) AS i,
+                             CASE WHEN do_merge THEN sym || nxt ELSE sym END AS sym
+                      FROM (SELECT m.*, lag(do_merge, 1, FALSE) OVER (PARTITION BY w ORDER BY i) AS consumed
+                            FROM m4 m) WHERE NOT consumed),
+              p5 AS (SELECT sym AS l, lead(sym) OVER (PARTITION BY w ORDER BY i) AS r, cnt FROM s4),
+              t5 AS (SELECT l, r, sum(cnt)::BIGINT AS n FROM p5 WHERE r IS NOT NULL
+                      GROUP BY l, r ORDER BY n DESC, l, r LIMIT 1),
+              x5 AS (SELECT s.w, s.cnt, s.i, s.sym,
+                             lead(s.sym) OVER (PARTITION BY s.w ORDER BY s.i) AS nxt,
+                             coalesce(s.sym = t.l AND
+                               lead(s.sym) OVER (PARTITION BY s.w ORDER BY s.i) = t.r, FALSE) AS matched
+                      FROM s4 s CROSS JOIN t5 t),
+              y5 AS (SELECT *, CASE WHEN matched
+                               THEN i - row_number() OVER (PARTITION BY w, matched ORDER BY i) END AS island
+                      FROM x5),
+              m5 AS (SELECT w, cnt, i, sym, nxt,
+                             matched AND (i - min(i) OVER (PARTITION BY w, island)) % 2 = 0 AS do_merge
+                      FROM y5),
+              s5 AS (SELECT w, cnt, row_number() OVER (PARTITION BY w ORDER BY i) AS i,
+                             CASE WHEN do_merge THEN sym || nxt ELSE sym END AS sym
+                      FROM (SELECT m.*, lag(do_merge, 1, FALSE) OVER (PARTITION BY w ORDER BY i) AS consumed
+                            FROM m5 m) WHERE NOT consumed),
+              p6 AS (SELECT sym AS l, lead(sym) OVER (PARTITION BY w ORDER BY i) AS r, cnt FROM s5),
+              t6 AS (SELECT l, r, sum(cnt)::BIGINT AS n FROM p6 WHERE r IS NOT NULL
+                      GROUP BY l, r ORDER BY n DESC, l, r LIMIT 1),
+              x6 AS (SELECT s.w, s.cnt, s.i, s.sym,
+                             lead(s.sym) OVER (PARTITION BY s.w ORDER BY s.i) AS nxt,
+                             coalesce(s.sym = t.l AND
+                               lead(s.sym) OVER (PARTITION BY s.w ORDER BY s.i) = t.r, FALSE) AS matched
+                      FROM s5 s CROSS JOIN t6 t),
+              y6 AS (SELECT *, CASE WHEN matched
+                               THEN i - row_number() OVER (PARTITION BY w, matched ORDER BY i) END AS island
+                      FROM x6),
+              m6 AS (SELECT w, cnt, i, sym, nxt,
+                             matched AND (i - min(i) OVER (PARTITION BY w, island)) % 2 = 0 AS do_merge
+                      FROM y6),
+              s6 AS (SELECT w, cnt, row_number() OVER (PARTITION BY w ORDER BY i) AS i,
+                             CASE WHEN do_merge THEN sym || nxt ELSE sym END AS sym
+                      FROM (SELECT m.*, lag(do_merge, 1, FALSE) OVER (PARTITION BY w ORDER BY i) AS consumed
+                            FROM m6 m) WHERE NOT consumed)
+              SELECT rank, left_sym, right_sym, pair_count FROM (
+                SELECT 1::BIGINT AS rank, l AS left_sym, r AS right_sym, n AS pair_count FROM t1
+                UNION ALL SELECT 2::BIGINT AS rank, l AS left_sym, r AS right_sym, n AS pair_count FROM t2
+                UNION ALL SELECT 3::BIGINT AS rank, l AS left_sym, r AS right_sym, n AS pair_count FROM t3
+                UNION ALL SELECT 4::BIGINT AS rank, l AS left_sym, r AS right_sym, n AS pair_count FROM t4
+                UNION ALL SELECT 5::BIGINT AS rank, l AS left_sym, r AS right_sym, n AS pair_count FROM t5
+                UNION ALL SELECT 6::BIGINT AS rank, l AS left_sym, r AS right_sym, n AS pair_count FROM t6)"""),
       doc = "Tokenizer training: distributed BPE merge learning over the word vocab"),
 
     Q(
@@ -864,8 +1004,10 @@ object TextOps {
           .select(col("doc_id"),
             explode(call_function("graft_token_counts", col("text"))).as("p"))
           .select(col("p.tok").as("term"))
-        val nTotal = pairs.count()
         val cms = pairs.stat.countMinSketch("term", 1e-4, 0.999, 42)
+        // the sketch already counts every item it absorbed — the stream
+        // total for the eps bound is free, no separate count() pass
+        val nTotal = cms.totalCount()
         val top = pairs.groupBy(col("term")).agg(count(lit(1)).as("n_docs"))
           .orderBy(col("n_docs").desc, col("term")).limit(20)
           .collect().map(r => (r.getString(0), r.getLong(1)))

@@ -147,21 +147,21 @@ class PlanAssertionsSpec extends SparkTestBase {
     // the vocabulary rank must come from a RANGE-partitioned sort — an
     // `Exchange SinglePartition` over vocab rows would be the 100 TB
     // scale-killer (billions of distinct tokens through one partition).
-    // The two-phase rank's partition-offset cumsum is the ONE permitted
-    // single-partition stage, and only because its input is the per-
-    // partition COUNT aggregate: one row per shuffle partition,
-    // cluster-bounded, never vocab-bounded. Assert exactly that shape.
+    // The two-phase rank's partition-offset cumsum runs on the DRIVER
+    // (its input is the per-partition COUNT aggregate: one row per
+    // shuffle partition, cluster-bounded, never vocab-bounded) and rides
+    // back as a map literal, so the executed plan must carry NO
+    // single-partition stage at all — the offsets join, its broadcast
+    // hint, and the unpartitioned cumsum window are all gone.
     val df = Registry.byName("t7_freq_rank_quality").fn(spark, sf)
     val p = df.queryExecution.executedPlan.toString
-    val lines = p.linesIterator.toVector
-    val singles = lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
-    assert(singles.size == 1, p)
-    val below = lines.drop(singles.head._2 + 1).take(2)
-    assert(below.exists(l => l.contains("HashAggregate(keys=[pid")),
-      s"SinglePartition exchange does not sit above the per-pid count aggregate:\n${below.mkString("\n")}")
-    // exactly one broadcast hint — the P-row offsets table; the rank join
-    // back onto the token stream must stay shuffle-based (no vocab hint)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("element_at(map"),
+      s"rank offsets must be applied as a map literal projection:\n$p")
+    // no broadcast hints left anywhere: the rank join back onto the
+    // token stream must stay AQE-arbitrated (no vocab hint)
     val logical = df.queryExecution.analyzed.toString
-    assert("ResolvedHint".r.findAllIn(logical).size == 1, logical)
+    assert(!logical.contains("ResolvedHint"), logical)
   }
 }
