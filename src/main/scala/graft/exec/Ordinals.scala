@@ -20,12 +20,17 @@ import org.apache.spark.sql.types.LongType
 object Ordinals {
 
   /** `df` plus an `out` column holding the row's global position under
-    * ORDER BY `key` ASC NULLS FIRST. Ties are broken by the range
-    * partitioner's internal order — pass a unique key for a total order.
+    * ORDER BY `key` ASC NULLS FIRST, then `tiebreak` columns. Without a
+    * total order (unique key, or tiebreaks covering the row) ties fall
+    * to the range partitioner's internal order and the ordinal is NOT
+    * stable across runs — callers that promise reproducible output must
+    * pass one.
     */
-  def withOrdinal(df: DataFrame, key: String, out: String): DataFrame = {
+  def withOrdinal(df: DataFrame, key: String, out: String,
+      tiebreak: Seq[Column] = Nil): DataFrame = {
     val k: Column = col("`" + key + "`").asc_nulls_first
-    val sorted = df.repartitionByRange(k).sortWithinPartitions(k)
+    val ks = k +: tiebreak.map(_.asc_nulls_first)
+    val sorted = df.repartitionByRange(ks: _*).sortWithinPartitions(ks: _*)
     val schema2 = sorted.schema.add(out, LongType, nullable = false)
     val rdd = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
     df.sparkSession.createDataFrame(rdd, schema2)

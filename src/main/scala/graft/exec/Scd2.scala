@@ -27,9 +27,15 @@ import org.apache.spark.sql.functions._
 object Scd2 {
 
   /** Build the SCD2 history frame:
-    * `(key, version, attr, valid_from, valid_to, is_current)` with
+    * `(key, version, tie, attr, valid_from, valid_to, is_current)` with
     * `version` 1-based per key in time order and `valid_to` null on the
-    * open (current) version.
+    * open (current) version. The opening change's `tie` (its event id)
+    * is kept on each version row: it is the provenance pointer back to
+    * the raw log AND what lets `merge` replay a version with the exact
+    * sort key the from-scratch build would use — replaying with a
+    * synthetic tie (e.g. the version number) would let a batch row at
+    * the same timestamp order against the synthetic value instead of
+    * the original event's.
     */
   def history(changes: DataFrame, key: String, ts: String, tie: String,
       attr: String): DataFrame = {
@@ -42,6 +48,7 @@ object Scd2 {
       .select(
         col(key),
         row_number().over(w).cast("long").as("version"),
+        col(tie),
         col(attr),
         col(ts).as("valid_from"),
         lead(col(ts), 1).over(w).as("valid_to"))
@@ -57,17 +64,22 @@ object Scd2 {
     * (the append-only arrival order a change-data feed guarantees).
     *
     * The touched keys' existing versions replay as pseudo-changes
-    * (`ts = valid_from`, `tie = version`) unioned with the batch; because
-    * the history is already no-op-collapsed, rebuilding from it is
+    * (`ts = valid_from`, `tie` = the version's ORIGINAL tie value, which
+    * `history` carries precisely for this) unioned with the batch —
+    * so a batch change landing at the same timestamp as an existing
+    * version orders against that version's real event id, exactly as
+    * the from-scratch build would order the two raw events. Because the
+    * history is already no-op-collapsed, rebuilding from it is
     * equivalent to rebuilding from the raw log — `Scd2Spec` asserts the
-    * merged result set-equals the from-scratch build.
+    * merged result set-equals the from-scratch build, including the
+    * equal-timestamp batch case.
     */
   def merge(history: DataFrame, batch: DataFrame, key: String, ts: String,
       tie: String, attr: String): DataFrame = {
     val touched = batch.select(col(key)).distinct()
     val untouched = history.join(touched, Seq(key), "left_anti")
     val replay = history.join(touched, Seq(key), "left_semi")
-      .select(col(key), col("valid_from").as(ts), col("version").as(tie), col(attr))
+      .select(col(key), col("valid_from").as(ts), col(tie), col(attr))
     val rebuilt = Scd2.history(
       replay.unionByName(batch.select(col(key), col(ts), col(tie), col(attr))),
       key, ts, tie, attr)

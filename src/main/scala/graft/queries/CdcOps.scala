@@ -38,7 +38,7 @@ object CdcOps {
                 FROM chg) WHERE prev IS NULL OR prev <> tier)
               SELECT user_id,
                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version,
-                tier, ts AS valid_from,
+                event_id, tier, ts AS valid_from,
                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
                 (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
               FROM dedup"""),
@@ -69,7 +69,7 @@ object CdcOps {
                 FROM chg) WHERE prev IS NULL OR prev <> tier)
               SELECT user_id,
                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version,
-                tier, ts AS valid_from,
+                event_id, tier, ts AS valid_from,
                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
                 (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
               FROM dedup"""),

@@ -81,8 +81,18 @@ object TableLayout {
     * parquet files turn each scan into a footer-listing storm and starve
     * the row-group machinery. Rewrites the dataset into
     * ceil(bytes / targetFileBytes) files (size from the filesystem
-    * listing, no data pass), staged then atomically swapped so concurrent
-    * readers see either the old or the new layout, never a mix.
+    * listing, no data pass), staged then swapped in via two renames.
+    *
+    * The swap is NOT atomic for concurrent readers: between the two
+    * renames there is a moment with no data directory, and a reader
+    * that listed files before the swap can lose them after it — a
+    * plain-directory layout fundamentally cannot do better (true
+    * reader-transparent compaction needs a manifest/table format, e.g.
+    * the HarmonizedJsonSink doc-pointer pattern). What IS guaranteed:
+    * a crash mid-swap never loses data — the failed second rename is
+    * rolled back in-process, and a crash that defeats even the
+    * rollback leaves the full pre-image under `__compact_old`, which
+    * the next compact() restores before doing anything else.
     *
     * Returns (filesBefore, filesAfter).
     */
@@ -94,6 +104,15 @@ object TableLayout {
       case p => s"file://$p"
     }), spark.sparkContext.hadoopConfiguration)
     val target = new HPath(path)
+    val old = new HPath(path + "__compact_old")
+    // repair a previous run's torn swap before touching anything: if the
+    // dataset dir is gone but the pre-image survives, restore it; if
+    // both exist the old swap completed and the pre-image is debris
+    if (fs.exists(old)) {
+      if (!fs.exists(target))
+        require(fs.rename(old, target), s"compact: cannot restore $old")
+      else fs.delete(old, true)
+    }
     val parts = fs.listStatus(target).filter(s =>
       s.isFile && s.getPath.getName.endsWith(".parquet"))
     val totalBytes = parts.map(_.getLen).sum
@@ -102,9 +121,15 @@ object TableLayout {
     spark.read.parquet(path)
       .repartition(nOut)
       .write.mode("overwrite").parquet(stage.toString)
-    val old = new HPath(path + "__compact_old")
     require(fs.rename(target, old), s"compact: cannot stage out $path")
-    require(fs.rename(stage, target), s"compact: cannot swap in $stage")
+    try require(fs.rename(stage, target), s"compact: cannot swap in $stage")
+    catch {
+      case e: Throwable =>
+        // put the pre-image back so an in-process failure never leaves
+        // the dataset path empty
+        fs.rename(old, target)
+        throw e
+    }
     fs.delete(old, true)
     (parts.length, nOut)
   }

@@ -54,6 +54,38 @@ class Scd2Spec extends SparkTestBase {
     assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
   }
 
+  test("merge orders an equal-timestamp batch change by real event id") {
+    // batch event 5 lands at the SAME ts as the key's last version
+    // (opened by event 10): event-id order puts the batch's gold BEFORE
+    // silver, so the true timeline is bronze→gold→silver. A replay that
+    // substituted version numbers for ties would compare 2 (silver's
+    // version) against 5 (the batch event id), order silver first, and
+    // yield bronze→silver→gold — diverging from the from-scratch build.
+    val hist = Scd2.history(changes(
+      (1L, "2024-01-01 00:00:00", 1L, "bronze"),
+      (1L, "2024-01-05 00:00:00", 10L, "silver")),
+      "user_id", "ts", "event_id", "tier")
+    val batch = changes((1L, "2024-01-05 00:00:00", 5L, "gold"))
+    val merged = Scd2.merge(hist, batch, "user_id", "ts", "event_id", "tier")
+    val scratch = Scd2.history(changes(
+      (1L, "2024-01-01 00:00:00", 1L, "bronze"),
+      (1L, "2024-01-05 00:00:00", 10L, "silver"),
+      (1L, "2024-01-05 00:00:00", 5L, "gold")),
+      "user_id", "ts", "event_id", "tier")
+    assert(merged.exceptAll(scratch).isEmpty && scratch.exceptAll(merged).isEmpty)
+    assert(merged.orderBy("version").collect().map(_.getAs[String]("tier")).toSeq
+      == Seq("bronze", "gold", "silver"))
+  }
+
+  test("history carries each version's opening event id") {
+    val h = Scd2.history(changes(
+      (1L, "2024-01-01 00:00:00", 3L, "bronze"),
+      (1L, "2024-01-02 00:00:00", 7L, "bronze"), // no-op: version keeps 3
+      (1L, "2024-01-03 00:00:00", 9L, "silver")),
+      "user_id", "ts", "event_id", "tier").orderBy("version").collect()
+    assert(h.map(_.getAs[Long]("event_id")).toSeq == Seq(3L, 9L))
+  }
+
   test("merge collapses a batch change that re-states the current value") {
     val hist = Scd2.history(changes(
       (1L, "2024-01-01 00:00:00", 1L, "bronze")),

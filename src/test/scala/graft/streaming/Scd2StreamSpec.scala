@@ -66,6 +66,31 @@ class Scd2StreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("readHistory repairs a crash between the two swap moves") {
+    // simulate the torn state: history renamed to __old_7, the second
+    // move (stage → history) never ran, plus debris from both phases
+    val root = Files.createTempDirectory("scd2_crash").toString
+    val hist = root + "/history"
+    val h0 = Scd2.history(changeDf(Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "bronze"),
+      (2L, ts("2024-01-01 01:00:00"), 2L, "gold"))),
+      "user_id", "ts", "event_id", "tier")
+    h0.write.parquet(hist + "__old_7")
+    changeDf(Seq((9L, ts("2024-01-09 00:00:00"), 9L, "gold")))
+      .write.parquet(hist + "__stage_8") // swap never started for batch 8
+    val recovered = Scd2Stream.readHistory(spark, hist)
+    assert(recovered.isDefined, "pre-image must be restored as the history")
+    assertSetEqual(recovered.get, h0)
+    assert(!Files.exists(java.nio.file.Paths.get(hist + "__old_7")))
+    assert(!Files.exists(java.nio.file.Paths.get(hist + "__stage_8")))
+    // a completed swap's leftover __old (crash before delete) is debris:
+    // the history dir exists, so recovery must KEEP it and drop the old
+    val stale = changeDf(Seq((5L, ts("2024-01-05 00:00:00"), 5L, "bronze")))
+    stale.write.parquet(hist + "__old_3")
+    assertSetEqual(Scd2Stream.readHistory(spark, hist).get, h0)
+    assert(!Files.exists(java.nio.file.Paths.get(hist + "__old_3")))
+  }
+
   test("re-applying an already-merged batch is a no-op (crash-replay idempotency)") {
     val all = Seq(
       (1L, ts("2024-01-01 00:00:00"), 1L, "bronze"),
