@@ -22,17 +22,41 @@ TAG="${1:-$(date +%Y%m%d)}"
 BASE=/root/testdata/sf0.1
 mkdir -p bench
 
+# --- 0. testdata generation stamp ------------------------------------------
+# The driver regenerates /root/testdata per round; decade numbers are only
+# comparable against replicas derived from the SAME generation (the r7 "t7
+# 110 s ceiling" was chased for a turn because a stale replica impersonated
+# a plan property). Hash the base parquet bytes once and (a) stamp every
+# replica dir at build time, (b) refuse to run against a replica whose
+# stamp is absent or different, (c) stamp every artifact this script writes.
+GEN=$(cat "$BASE"/*.parquet | md5sum | cut -d' ' -f1)
+echo "[scale_gate] testdata generation $GEN"
+
 # --- 1. replicas (scale/ is outside sbt's clean blast radius) -------------
 for spec in sf1:10 sf10:100 sf100:1000; do
   name="${spec%%:*}"; factor="${spec##*:}"
   if [ -f "scale/$name/lineitem.parquet" ] || [ -d "scale/$name/lineitem.parquet" ]; then
-    echo "[scale_gate] scale/$name present, skipping build"
+    have=$(cat "scale/$name/GENERATION" 2>/dev/null || echo "unstamped")
+    if [ "$have" = "$GEN" ]; then
+      echo "[scale_gate] scale/$name present (generation ok), skipping build"
+    elif [ "${STALE_REBUILD:-0}" = "1" ]; then
+      echo "[scale_gate] scale/$name generation $have != $GEN — rebuilding"
+      rm -rf "scale/$name"
+      SPARK_DRIVER_MEM=64g sbt -batch "runMain graft.ScaleUp $BASE scale/$name $factor"
+      echo "$GEN" > "scale/$name/GENERATION"
+    else
+      echo "[scale_gate] ERROR: scale/$name was built from generation" >&2
+      echo "  '$have' but the base is now '$GEN' — its numbers are not" >&2
+      echo "  comparable. Re-run with STALE_REBUILD=1 to rebuild it." >&2
+      exit 1
+    fi
   elif [ "${SKIP_BUILD:-0}" = "1" ]; then
     echo "[scale_gate] ERROR: scale/$name missing and SKIP_BUILD=1" >&2
     exit 1
   else
     echo "[scale_gate] building scale/$name (factor $factor from $BASE)"
     SPARK_DRIVER_MEM=64g sbt -batch "runMain graft.ScaleUp $BASE scale/$name $factor"
+    echo "$GEN" > "scale/$name/GENERATION"
   fi
 done
 
@@ -44,9 +68,11 @@ if [ "${SKIP_SF100:-0}" != "1" ]; then
   SPARK_GRAFT_BENCH_REPS=1 SPARK_GRAFT_BENCH_WARMUP=0 SPARK_GRAFT_BENCH_DUAL=0 \
   SPARK_DRIVER_MEM=64g SPARK_GRAFT_SHUFFLE_PARTITIONS=128 \
     sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' > "$out"
-  python3 - "$out" <<'EOF'
+  python3 - "$out" "$GEN" <<'EOF'
 import json, sys
 d = json.load(open(sys.argv[1]))
+d["generation"] = sys.argv[2]
+json.dump(d, open(sys.argv[1], "w"))
 bad = sorted(k for k, v in d["queries"].items() if v < 0)
 print(f"[scale_gate] sf100 suite {d['value']:.0f}s over {len(d['queries'])} queries")
 if bad:
@@ -68,8 +94,9 @@ if [ "${SKIP_ORACLE:-0}" != "1" ]; then
   # d12 shares d6's banding CTE (16 md5-derived hyperplanes x 64 dims per
   # vector in SQL) plus a recursive-CTE closure — same oracle-side cost,
   # covered by the sf0.01/sf0.1 gate + DedupCollapseSpec's d12 test.
+  echo "generation $GEN" > "$log"
   python3 -u scripts/check_oracle.py "$vout" "$PWD/scale/sf1" \
-    '!d2' '!d4' '!d5' '!d6' '!d7' '!d8' '!d12' '!sim6' | tee "$log"
+    '!d2' '!d4' '!d5' '!d6' '!d7' '!d8' '!d12' '!sim6' | tee -a "$log"
 fi
 
-echo "[scale_gate] done (tag $TAG)"
+echo "[scale_gate] done (tag $TAG, generation $GEN)"

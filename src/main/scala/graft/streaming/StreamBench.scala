@@ -109,27 +109,36 @@ object StreamBench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** Run the three stateful streams over the staged dirs; returns one
-    * result per stream with the batch-equality verdict.
+  /** Run the stateful streams over the staged dirs; returns one result
+    * per stream with the batch-equality verdict. `only` selects a subset
+    * by name prefix (e.g. Seq("ws2") for a state-store A/B at sf100
+    * without paying for the whole suite); empty = all.
     */
   def run(spark: SparkSession, sfDir: String, nBuckets: Int,
-      maxFilesPerTrigger: Int = 8): Seq[StreamResult] = {
+      maxFilesPerTrigger: Int = 8, only: Seq[String] = Nil): Seq[StreamResult] = {
     val work = Files.createTempDirectory("graft_stream_bench")
     val st = stage(spark, sfDir, nBuckets, work)
     val events = graft.queries.Tables.t(spark, sfDir, "events")
+    // ws1 writes the watermark-flushing sentinel AFTER its own timing;
+    // when ws1 is deselected the streams that need a flushed tail (ws2's
+    // open sessions) still get one, written before their stream starts
+    var sentinelWritten = false
+    def ensureSentinel(): Unit = if (!sentinelWritten) {
+      writeSentinel(spark, st.cleanDir, st.maxUs); sentinelWritten = true
+    }
     def dirs(tag: String): (String, String) =
       (Files.createDirectories(work.resolve(s"out_$tag")).toString,
         Files.createDirectories(work.resolve(s"ck_$tag")).toString)
 
     // ws1: watermarked tumbling-window aggregate, Append-mode parquet sink
-    val ws1 = {
+    def ws1 = {
       val (out, ck) = dirs("ws1")
       val agg = EventStreaming.windowedTypeCounts(
         EventStreaming.fileStream(spark, st.cleanDir, maxFilesPerTrigger),
         "1 hour", st.delay)
       val q = EventStreaming.startParquetSink(agg, out, ck)
       val (_, sec) = timed(q.processAllAvailable())
-      writeSentinel(spark, st.cleanDir, st.maxUs)
+      ensureSentinel()
       q.processAllAvailable(); q.stop()
       val got = spark.read.parquet(out).filter(col("event_type") =!= SentinelType)
       val want = EventStreaming.windowedTypeCounts(events, "1 hour", st.delay)
@@ -145,14 +154,15 @@ object StreamBench {
     }
 
     // ws2: flatMapGroupsWithState sessionization
-    val ws2 = {
+    def ws2 = {
+      ensureSentinel() // pre-start: consumed within the timed drain
       val (out, ck) = dirs("ws2")
       val sess = EventStreaming.sessionize(
         EventStreaming.fileStream(spark, st.cleanDir, maxFilesPerTrigger),
         "30 minutes", st.delay).toDF()
       val q = EventStreaming.startParquetSink(sess, out, ck)
       val (_, sec) = timed(q.processAllAvailable())
-      q.stop() // sentinel is already in the dir (ws1 wrote it)
+      q.stop()
       val got = spark.read.parquet(out).filter(col("user_id") =!= -1L)
         .agg(count(lit(1)), sum(col("n_events")), sum(col("sum_value")))
         .head()
@@ -167,7 +177,7 @@ object StreamBench {
     }
 
     // ws3: exactly-once dedup over the dir where one bucket arrives twice
-    val ws3 = {
+    def ws3 = {
       val (out, ck) = dirs("ws3")
       val dd = EventStreaming.dedupedEvents(
         EventStreaming.fileStream(spark, st.dupDir, maxFilesPerTrigger),
@@ -185,7 +195,7 @@ object StreamBench {
     // eagerly (the watermark only bounds buffered state), and time-ordered
     // arrival means a purchase finds its clicks already buffered; the raw
     // columns pass through unaggregated, so the batch compare is bitwise.
-    val ws4 = {
+    def ws4 = {
       val (out, ck) = dirs("ws4")
       val attr = EventStreaming.clickAttribution(
         EventStreaming.fileStream(spark, st.cleanDir, maxFilesPerTrigger),
@@ -207,7 +217,7 @@ object StreamBench {
     // already bounded by the batch's key set). Verdict: the maintained
     // history must equal the from-scratch batch build over the full feed,
     // bitwise.
-    val ws5 = {
+    def ws5 = {
       val hist = work.resolve("hist_ws5").toString
       val ckd = Files.createDirectories(work.resolve("ck_ws5")).toString
       def tier = when(col("value") < 5, "bronze")
@@ -228,19 +238,36 @@ object StreamBench {
       StreamResult("ws5_scd2_maintain", sec, nChanges, ok)
     }
 
-    Seq(ws1, ws2, ws3, ws4, ws5)
+    val all = Seq[(String, () => StreamResult)](
+      ("ws1", () => ws1), ("ws2", () => ws2), ("ws3", () => ws3),
+      ("ws4", () => ws4), ("ws5", () => ws5))
+    val picked =
+      if (only.isEmpty) all
+      else all.filter { case (n, _) => only.exists(n.startsWith) }
+    require(picked.nonEmpty, s"no stream matches $only")
+    picked.map(_._2())
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val nBuckets = sys.env.get("SPARK_GRAFT_STREAM_BUCKETS").map(_.toInt).getOrElse(64)
+    val only = sys.env.get("SPARK_GRAFT_STREAMS")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+    // State-store A/B (SCALE.md): rocksdb = native off-JVM-heap store with
+    // changelog checkpointing — the 100 TB deployment choice when per-key
+    // state (ws2's open sessions) outgrows executor heap. Session conf
+    // must be set before the first query starts.
+    val stateStore = sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "hdfs")
     val spark = graft.GraftSession.local("graft-stream-bench")
-    val rs = run(spark, sfDir, nBuckets)
+    if (stateStore == "rocksdb")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val rs = run(spark, sfDir, nBuckets, only = only)
     val js = rs.map(r =>
       s""""${r.name}":{"sec":${"%.3f".format(r.sec)},"rows":${r.rows},""" +
         s""""rows_per_sec":${(r.rows / math.max(r.sec, 1e-9)).toLong},"ok":${r.ok}}""")
       .mkString("{", ",", "}")
-    println(s"""{"metric":"stream_suite","value":${"%.3f".format(rs.map(_.sec).sum)},"unit":"sec","streams":$js,"sf":"${new java.io.File(sfDir).getName}"}""")
+    println(s"""{"metric":"stream_suite","value":${"%.3f".format(rs.map(_.sec).sum)},"unit":"sec","streams":$js,"state_store":"$stateStore","sf":"${new java.io.File(sfDir).getName}"}""")
     require(rs.forall(_.ok), s"stream/batch mismatch: ${rs.filterNot(_.ok).map(_.name)}")
     spark.stop()
   }
