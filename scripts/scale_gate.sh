@@ -95,8 +95,10 @@ if [ "${SKIP_ORACLE:-0}" != "1" ]; then
   # vector in SQL) plus a recursive-CTE closure — same oracle-side cost,
   # covered by the sf0.01/sf0.1 gate + DedupCollapseSpec's d12 test.
   echo "generation $GEN" > "$log"
+  # ds3 rides d2's pair oracle (same banding CTEs) — same quadratic
+  # oracle cost at sf>=1, same exclusion, same engine-side coverage
   python3 -u scripts/check_oracle.py "$vout" "$PWD/scale/sf1" \
-    '!d2' '!d4' '!d5' '!d6' '!d7' '!d8' '!d12' '!sim6' | tee -a "$log"
+    '!d2' '!d4' '!d5' '!d6' '!d7' '!d8' '!d12' '!sim6' '!ds3' | tee -a "$log"
 fi
 
 echo "[scale_gate] done (tag $TAG, generation $GEN)"

@@ -342,6 +342,92 @@ object DedupOps {
       inter.cast("double") / (size(a) + size(b) - inter).cast("double")
     }
 
+  /** d2's verified near-dup pair frame `(doc_a, doc_b, jaccard)` —
+    * extracted so other operators (ds3's split-leakage audit) consume the
+    * SAME candidate generation + verification instead of re-deriving a
+    * second, subtly different notion of "near-duplicate".
+    */
+  private[queries] def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    // MinHash(k=12) → 4 bands × 3 rows → band-key self-join →
+    // exact-Jaccard verification at 0.5. One shuffle for the band join,
+    // one for pair distinct; signatures are narrow maps.
+    // pair ids are distinct'd BEFORE verification: a pair sharing all 4
+    // bands would otherwise pay the exact-Jaccard cost 4 times.
+    //
+    // Identical-shingle-set COLLAPSE, like the SimHash/embedding
+    // families: docs with the same shingle SET have the same MinHash
+    // bands and the same Jaccard to everything, so banding + verify
+    // run over DISTINCT sets (rep = min doc_id) and qualifying rep
+    // pairs expand into member pairs, size>=2 groups emitting their
+    // jaccard-of-identical within-group pairs from the same
+    // expression. Without this the second measured decade (100
+    // identical copies per doc) went 29x for 10x data — in-bucket
+    // pair listing is quadratic in the duplication factor.
+    //
+    // ADAPTIVE: the collapse build (array groupBy + checkpoint) is
+    // pure overhead when no two docs share a shingle set — there the
+    // collapse is the identity map (rep = doc_id, members = [doc_id],
+    // intra empty), so the probe routes dup-free corpora straight to
+    // per-doc banding. Both branches emit identical rows
+    // (DedupCollapseSpec pins both).
+    if (!hasDupShingleSets(s, dir)) {
+      val sh = shingled(s, dir)
+      val bands = sh
+        .select(col("doc_id"),
+          explode(call_function("graft_minhash_bands",
+            col("sh"), lit(12), lit(4), lit(3))).as("band_key"))
+        .localCheckpoint(false) // signature hashing runs once, not per join side
+      val pairs = bands.select(col("band_key"), col("doc_id").as("doc_a"))
+        .join(bands.select(col("band_key"), col("doc_id").as("doc_b")), Seq("band_key"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      pairs
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+    } else {
+      val groups = materialized(s, dir, "shgroups") {
+        shingled(s, dir)
+          .groupBy(col("sh"))
+          .agg(min(col("doc_id")).as("rep"),
+            sort_array(collect_list(col("doc_id"))).as("members"))
+      }
+      // native codegen'd signature (graft.expressions.MinhashBands);
+      // DedupFunctions.minhashBandKeys is the HOF spec
+      val bands = groups
+        .select(col("rep"),
+          explode(call_function("graft_minhash_bands",
+            col("sh"), lit(12), lit(4), lit(3))).as("band_key"))
+        .localCheckpoint(false) // signature hashing runs once, not per join side
+      val fpPairs = bands.select(col("band_key"), col("rep").as("rep_a"))
+        .join(bands.select(col("band_key"), col("rep").as("rep_b")), Seq("band_key"))
+        .filter(col("rep_a") < col("rep_b"))
+        .select(col("rep_a"), col("rep_b")).distinct()
+      val cross = fpPairs
+        .join(groups.select(col("rep").as("rep_a"), col("sh").as("sh_a"),
+          col("members").as("ms_a")), Seq("rep_a"))
+        .join(groups.select(col("rep").as("rep_b"), col("sh").as("sh_b"),
+          col("members").as("ms_b")), Seq("rep_b"))
+        .select(col("ms_a"), col("ms_b"),
+          jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .select(explode(col("ms_a")).as("da"), col("ms_b"), col("jaccard"))
+        .select(col("da"), explode(col("ms_b")).as("db"), col("jaccard"))
+        .select(least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
+      val intra = groups.filter(size(col("members")) >= 2)
+        .withColumn("jaccard", jaccard(col("sh"), col("sh")))
+        .filter(col("jaccard") >= 0.5)
+        .select(explode(col("members")).as("doc_a"), col("members"), col("jaccard"))
+        .select(col("doc_a"), explode(col("members")).as("doc_b"), col("jaccard"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      cross.unionByName(intra)
+    }
+  }
+
   def qs: Seq[Q] = Seq(
     Q(
       "d1_exact_dedup",
@@ -358,86 +444,10 @@ object DedupOps {
 
     Q(
       "d2_minhash_lsh",
-      (s, dir) => {
-        // MinHash(k=12) → 4 bands × 3 rows → band-key self-join →
-        // exact-Jaccard verification at 0.5. One shuffle for the band join,
-        // one for pair distinct; signatures are narrow maps.
-        // pair ids are distinct'd BEFORE verification: a pair sharing all 4
-        // bands would otherwise pay the exact-Jaccard cost 4 times.
-        //
-        // Identical-shingle-set COLLAPSE, like the SimHash/embedding
-        // families: docs with the same shingle SET have the same MinHash
-        // bands and the same Jaccard to everything, so banding + verify
-        // run over DISTINCT sets (rep = min doc_id) and qualifying rep
-        // pairs expand into member pairs, size>=2 groups emitting their
-        // jaccard-of-identical within-group pairs from the same
-        // expression. Without this the second measured decade (100
-        // identical copies per doc) went 29x for 10x data — in-bucket
-        // pair listing is quadratic in the duplication factor.
-        //
-        // ADAPTIVE: the collapse build (array groupBy + checkpoint) is
-        // pure overhead when no two docs share a shingle set — there the
-        // collapse is the identity map (rep = doc_id, members = [doc_id],
-        // intra empty), so the probe routes dup-free corpora straight to
-        // per-doc banding. Both branches emit identical rows
-        // (DedupCollapseSpec pins both).
-        if (!hasDupShingleSets(s, dir)) {
-          val sh = shingled(s, dir)
-          val bands = sh
-            .select(col("doc_id"),
-              explode(call_function("graft_minhash_bands",
-                col("sh"), lit(12), lit(4), lit(3))).as("band_key"))
-            .localCheckpoint(false) // signature hashing runs once, not per join side
-          val pairs = bands.select(col("band_key"), col("doc_id").as("doc_a"))
-            .join(bands.select(col("band_key"), col("doc_id").as("doc_b")), Seq("band_key"))
-            .filter(col("doc_a") < col("doc_b"))
-            .select(col("doc_a"), col("doc_b")).distinct()
-          pairs
-            .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-            .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-            .select(col("doc_a"), col("doc_b"),
-              jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-            .filter(col("jaccard") >= 0.5)
-        } else {
-          val groups = materialized(s, dir, "shgroups") {
-            shingled(s, dir)
-              .groupBy(col("sh"))
-              .agg(min(col("doc_id")).as("rep"),
-                sort_array(collect_list(col("doc_id"))).as("members"))
-          }
-          // native codegen'd signature (graft.expressions.MinhashBands);
-          // DedupFunctions.minhashBandKeys is the HOF spec
-          val bands = groups
-            .select(col("rep"),
-              explode(call_function("graft_minhash_bands",
-                col("sh"), lit(12), lit(4), lit(3))).as("band_key"))
-            .localCheckpoint(false) // signature hashing runs once, not per join side
-          val fpPairs = bands.select(col("band_key"), col("rep").as("rep_a"))
-            .join(bands.select(col("band_key"), col("rep").as("rep_b")), Seq("band_key"))
-            .filter(col("rep_a") < col("rep_b"))
-            .select(col("rep_a"), col("rep_b")).distinct()
-          val cross = fpPairs
-            .join(groups.select(col("rep").as("rep_a"), col("sh").as("sh_a"),
-              col("members").as("ms_a")), Seq("rep_a"))
-            .join(groups.select(col("rep").as("rep_b"), col("sh").as("sh_b"),
-              col("members").as("ms_b")), Seq("rep_b"))
-            .select(col("ms_a"), col("ms_b"),
-              jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-            .filter(col("jaccard") >= 0.5)
-            .select(explode(col("ms_a")).as("da"), col("ms_b"), col("jaccard"))
-            .select(col("da"), explode(col("ms_b")).as("db"), col("jaccard"))
-            .select(least(col("da"), col("db")).as("doc_a"),
-              greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
-          val intra = groups.filter(size(col("members")) >= 2)
-            .withColumn("jaccard", jaccard(col("sh"), col("sh")))
-            .filter(col("jaccard") >= 0.5)
-            .select(explode(col("members")).as("doc_a"), col("members"), col("jaccard"))
-            .select(col("doc_a"), explode(col("members")).as("doc_b"), col("jaccard"))
-            .filter(col("doc_a") < col("doc_b"))
-            .select(col("doc_a"), col("doc_b"), col("jaccard"))
-          cross.unionByName(intra)
-        }
-      },
+      (s, dir) =>
+        // full rationale (adaptive collapse, band shuffle shape) on the
+        // shared helper
+        minhashVerifiedPairs(s, dir),
       Some(s"""WITH $ShingleCte,
               sig AS (SELECT doc_id, sh,
                 [ list_min([ ((${graft.functions.DedupFunctions.minhashA(12).mkString("[", ",", "]")})[i+1]
@@ -456,6 +466,66 @@ object DedupOps {
               AND len(list_intersect(a.sh, b.sh))::DOUBLE /
                   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE >= 0.5"""),
       doc = "Dedup: MinHash signatures + LSH banding + exact-Jaccard verify"),
+
+    Q(
+      "ds3_split_leakage",
+      (s, dir) => {
+        // EVAL-CONTAMINATION AUDIT: how many verified near-duplicate pairs
+        // STRADDLE the train/val/test boundary — the check a pipeline runs
+        // before trusting any held-out metric, because ds2's id-hash split
+        // is leak-free only w.r.t. the id, not w.r.t. CONTENT (a near-copy
+        // of a training doc landing in test inflates eval). Near-dup =
+        // exactly d2's definition via the shared minhashVerifiedPairs
+        // (same banding, same collapse adaptivity, same Jaccard gate), so
+        // this audit can never disagree with the dedup pass about what a
+        // duplicate is. The pair frame joins the (doc_id, split) projection
+        // twice — pair volume is band-bounded, the split frame is a narrow
+        // scan, AQE arbitrates the build side — and the output is a
+        // split-pair summary (≤6 rows at any corpus size).
+        val splitOf = {
+          val h = md5(col("doc_id").cast("string"))
+          val b = pmod(conv(substring(h, 1, 4), 16, 10).cast("long"), lit(100L))
+          when(b < 96, "train").when(b < 98, "val").otherwise("test")
+        }
+        val splits = t(s, dir, "documents").select(col("doc_id"), splitOf.as("split"))
+        minhashVerifiedPairs(s, dir)
+          .join(splits.select(col("doc_id").as("doc_a"), col("split").as("sa")), Seq("doc_a"))
+          .join(splits.select(col("doc_id").as("doc_b"), col("split").as("sb")), Seq("doc_b"))
+          .groupBy(
+            least(col("sa"), col("sb")).as("split_lo"),
+            greatest(col("sa"), col("sb")).as("split_hi"))
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some(s"""WITH $ShingleCte,
+              sig AS (SELECT doc_id, sh,
+                [ list_min([ ((${graft.functions.DedupFunctions.minhashA(12).mkString("[", ",", "]")})[i+1]
+                              * (g % 1000000007)
+                              + (${graft.functions.DedupFunctions.minhashB(12).mkString("[", ",", "]")})[i+1])
+                             % 1000000007 for g in sh ])
+                  for i in range(0,12) ] AS sig FROM sh),
+              bands AS (SELECT doc_id, sh,
+                unnest([ b || '#' || array_to_string(sig[b*3+1:b*3+3], ',')
+                         for b in range(0,4) ]) AS band_key FROM sig),
+              pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b USING (band_key)
+                WHERE a.doc_id < b.doc_id
+                AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+                    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE >= 0.5),
+              ds AS (SELECT doc_id,
+                CASE WHEN b < 96 THEN 'train' WHEN b < 98 THEN 'val' ELSE 'test' END AS split
+                FROM (SELECT doc_id,
+                  (((instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 4096
+                    + (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1) * 256
+                    + (instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), 3, 1)) - 1) * 16
+                    + instr('0123456789abcdef', substr(md5(doc_id::VARCHAR), 4, 1)) - 1) % 100) AS b
+                  FROM documents))
+              SELECT least(a.split, b.split) AS split_lo,
+                     greatest(a.split, b.split) AS split_hi,
+                     count(*)::BIGINT AS n_pairs
+              FROM pairs p JOIN ds a ON p.doc_a = a.doc_id
+                           JOIN ds b ON p.doc_b = b.doc_id
+              GROUP BY 1, 2"""),
+      doc = "Split audit: near-dup pairs straddling the train/val/test boundary"),
 
     Q(
       "d3_simhash",
