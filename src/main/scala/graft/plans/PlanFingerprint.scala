@@ -57,6 +57,14 @@ object PlanFingerprint {
         // serialized lambda identities (typed ops, mapGroupsWithState)
         .replaceAll("\\$Lambda\\$[^,\\s)@]*", java.util.regex.Matcher.quoteReplacement("$Lambda"))
         .replaceAll("@[0-9a-f]{6,}", "@x")
+        // trained-model literal arrays (qc1 weights, dsir1 log-ratios,
+        // sim7 codebooks): the VALUES are data-derived and drift with
+        // every testdata generation, but their presence and width are
+        // the plan shape — collapse any >=8-element integer-array
+        // literal to a placeholder so fingerprints pin "a baked literal
+        // vector feeds this projection" without pinning the training
+        // data itself
+        .replaceAll("\\[(-?\\d+,){8,}-?\\d+\\]", "[<ints>]")
         .replaceAll("Statistics\\([^)]*\\)", "Statistics(x)")
         .replaceAll("\\s+$", "")
     }.mkString("\n").trim + "\n"

@@ -45,7 +45,8 @@ object Registry {
   def all: Seq[Q] =
     CoreOps.qs ++ DslOps.qs ++ JoinAggOps.qs ++ ShapeOps.qs ++
       TextOps.qs ++ DedupOps.qs ++ SimilarityOps.qs ++ EtlGraphOps.qs ++
-      MultimodalOps.qs ++ RuleOps.qs ++ PackOps.qs ++ CdcOps.qs ++ GraphOps.qs
+      MultimodalOps.qs ++ RuleOps.qs ++ PackOps.qs ++ CdcOps.qs ++ GraphOps.qs ++
+      ModelOps.qs
 
   lazy val byName: Map[String, Q] = {
     val m = all.map(q => q.name -> q).toMap

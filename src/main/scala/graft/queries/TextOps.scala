@@ -1126,6 +1126,68 @@ object TextOps {
                      sum(len(w))::BIGINT AS word_chars
               FROM st WHERE i > len(w)
               GROUP BY doc_id"""),
-      doc = "Tokenizer apply: greedy longest-prefix piece encode vs corpus vocab, one kernel pass")
+      doc = "Tokenizer apply: greedy longest-prefix piece encode vs corpus vocab, one kernel pass"),
+
+    Q(
+      "t18_tokenizer_fertility",
+      (s, dir) => {
+        // PER-SOURCE TOKENIZER FERTILITY + OOV (the pretraining
+        // diagnostic run before committing a token budget: which
+        // domains does the tokenizer encode efficiently, and where does
+        // vocabulary coverage collapse?). Rides bpe2's greedy-encode
+        // kernel (vocab = top-64 corpus tokens, baked as a codegen
+        // reference object) — one kernel call per doc, then a
+        // sources-sized groupBy (map-side combined; ≤ |sources| groups
+        // at any corpus scale). fertility_milli = pieces per 1000 word
+        // chars (lower = cheaper encoding); oov_permille = share of
+        // word chars no vocab piece covered (the single-char fallback
+        // path). All-integer outputs so the compare is hash-exact.
+        val vocab: Seq[String] = t(s, dir, "documents")
+          .select(explode(call_function("graft_token_counts", col("text"))).as("p"))
+          .groupBy(col("p.tok")).agg(sum(col("p.m")).as("c"))
+          .orderBy(col("c").desc, col("tok")).limit(64)
+          .collect().map(_.getString(0)).toSeq
+        val st = call_function("graft_greedy_pieces", col("text"), typedlit(vocab))
+        t(s, dir, "documents")
+          .select(col("source"), st.as("st"))
+          .groupBy(col("source"))
+          .agg(sum(col("st").getItem(0)).as("n_pieces"),
+            sum(col("st").getItem(1)).as("covered_chars"),
+            sum(col("st").getItem(2)).as("word_chars"))
+          .select(col("source"), col("n_pieces"), col("word_chars"),
+            permille(col("n_pieces"), col("word_chars")).as("fertility_milli"),
+            permille(col("word_chars") - col("covered_chars"), col("word_chars"))
+              .as("oov_permille"))
+      },
+      Some("""WITH RECURSIVE tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+                FROM documents),
+              cnt AS (SELECT tok, count(*)::BIGINT AS c FROM tok GROUP BY tok),
+              vocab AS (SELECT tok AS v FROM cnt ORDER BY c DESC, tok LIMIT 64),
+              st AS (
+                SELECT doc_id, tok AS w, 1 AS i, 0::BIGINT AS pieces, 0::BIGINT AS covered
+                FROM tok
+                UNION ALL
+                SELECT doc_id, w, (i + coalesce(len(best), 1))::INT, pieces + 1,
+                       covered + coalesce(len(best), 0)
+                FROM (SELECT st.*,
+                        (SELECT v FROM vocab
+                         WHERE len(v) <= len(st.w) - st.i + 1
+                           AND substr(st.w, st.i, len(v)) = v
+                         ORDER BY len(v) DESC, v LIMIT 1) AS best
+                      FROM st WHERE i <= len(w)) s),
+              perdoc AS (SELECT doc_id, sum(pieces)::BIGINT AS n_pieces,
+                     sum(covered)::BIGINT AS covered_chars,
+                     sum(len(w))::BIGINT AS word_chars
+                FROM st WHERE i > len(w)
+                GROUP BY doc_id)
+              SELECT d.source, sum(p.n_pieces)::BIGINT AS n_pieces,
+                     sum(p.word_chars)::BIGINT AS word_chars,
+                     (sum(p.n_pieces) * 1000 // sum(p.word_chars))::BIGINT AS fertility_milli,
+                     ((sum(p.word_chars) - sum(p.covered_chars)) * 1000 // sum(p.word_chars))::BIGINT AS oov_permille
+              FROM perdoc p JOIN documents d USING (doc_id)
+              GROUP BY d.source"""),
+      doc = "Tokenizer diagnostic: per-source fertility + OOV share under the corpus vocab")
   )
 }
