@@ -1188,6 +1188,130 @@ object TextOps {
                      ((sum(p.word_chars) - sum(p.covered_chars)) * 1000 // sum(p.word_chars))::BIGINT AS oov_permille
               FROM perdoc p JOIN documents d USING (doc_id)
               GROUP BY d.source"""),
-      doc = "Tokenizer diagnostic: per-source fertility + OOV share under the corpus vocab")
+      doc = "Tokenizer diagnostic: per-source fertility + OOV share under the corpus vocab"),
+
+    Q(
+      "t19_span_dedup",
+      (s, dir) => {
+        // EXACT-SUBSTRING SPAN DEDUP (the Lee et al. 2022 "Deduplicating
+        // Training Data Makes Language Models Better" family, re-shaped
+        // for Spark): slide a 16-token window with stride 1 over every
+        // doc, find windows whose exact text repeats ANYWHERE in the
+        // corpus, merge each doc's repeated windows into MAXIMAL
+        // overlapping-or-adjacent intervals (gaps-and-islands), excise
+        // every covered token, and reassemble the survivors in order.
+        // Differs from t11 on both axes that matter: windows slide (a
+        // repeat is caught at any offset, not only on an 8-token line
+        // grid) and removal is by merged span (a 40-token boilerplate
+        // block is one island, not five independent lines). An 18-token
+        // boilerplate is spliced onto BOTH ends of every doc so the op
+        // has real work at any sf: every doc excises at least the 36
+        // spliced tokens (2 islands), plus junction windows that
+        // GENUINELY repeat corpus-wide (the synthetic vocab is small,
+        // so another doc often shares the few content tokens adjacent
+        // to the splice — measured 2-4 extra tokens/doc at sf0.01) and
+        // full-doc coverage for exact-duplicate docs (1 island).
+        // TextSpanSpec pins these removal invariants.
+        //
+        // SCALE SHAPE: |windows| ≈ |tokens| (stride 1), so the
+        // window-count shuffle is linear in corpus tokens with map-side
+        // partial aggregation — the same honest bound as t11's line
+        // counts, paid once. The repeated set is duplication-bounded
+        // (tiny for a healthy corpus), AQE arbitrates the probe join;
+        // per-doc island merging is one window sort bounded by the
+        // doc's own span count (identical docs collapse to ONE island,
+        // so dup-heavy corpora stay linear — no quadratic pair risk
+        // anywhere). The tokenized base is checkpointed: text parses
+        // once, reassembly reuses it.
+        val W = 16
+        val boiler = "all rights reserved this document is provided as is " +
+          "without warranty of any kind either express or implied"
+        val base = t(s, dir, "documents")
+          .select(col("doc_id"),
+            tokens(concat(lit(boiler), lit(" "), col("text"),
+              lit(" "), lit(boiler))).as("w"))
+          .withColumn("n", size(col("w")).cast("long"))
+          .localCheckpoint(false) // feeds window-gen AND ordered reassembly
+        val wins = base.filter(col("n") >= W)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(0L), col("n") - W), k =>
+              struct(k.as("k"),
+                md5(array_join(slice(col("w"), (k + 1).cast("int"), lit(W)), " "))
+                  .as("h")))).as("u"))
+          .select(col("doc_id"), col("u.k").as("st"),
+            (col("u.k") + (W - 1)).as("en"), col("u.h").as("h"))
+        val rep = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select(col("h"))
+        val spans = wins.join(rep, Seq("h"))
+          .select(col("doc_id"), col("st"), col("en"))
+        import org.apache.spark.sql.expressions.Window
+        val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("st"))
+        val prevMax = max(col("en"))
+          .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+        val islands = spans
+          .withColumn("ni",
+            when(prevMax.isNull || col("st") > prevMax + 1, 1L).otherwise(0L))
+          .withColumn("isl", sum(col("ni"))
+            .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("doc_id"), col("isl"))
+          .agg(min(col("st")).as("s"), max(col("en")).as("e"))
+        val perDoc = islands.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_spans"),
+            sum(col("e") - col("s") + 1).as("n_removed"),
+            collect_list(struct(col("s"), col("e"))).as("sp"))
+        base.join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n").as("n_tokens"),
+            coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+            coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+            when(col("sp").isNull, md5(array_join(col("w"), " ")))
+              .otherwise(md5(array_join(
+                filter(col("w"), (x, i) =>
+                  not(exists(col("sp"), p =>
+                    i.cast("long").geq(p.getField("s")) &&
+                      i.cast("long").leq(p.getField("e"))))),
+                " "))).as("kept_md5"))
+      },
+      Some("""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(
+                  'all rights reserved this document is provided as is without warranty of any kind either express or implied '
+                  || text ||
+                  ' all rights reserved this document is provided as is without warranty of any kind either express or implied',
+                  '\s+'), x -> x <> '') AS w
+                FROM documents),
+              b AS (SELECT doc_id, w, len(w)::BIGINT AS n FROM w),
+              wins AS (SELECT doc_id, k::BIGINT AS k,
+                  md5(array_to_string(w[k+1:k+16], ' ')) AS h
+                FROM (SELECT doc_id, w, unnest(range(0, len(w)-15)) AS k
+                      FROM b WHERE len(w) >= 16)),
+              rep AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+              sp AS (SELECT doc_id, k AS st, k+15 AS en FROM wins JOIN rep USING (h)),
+              gi AS (SELECT doc_id, st, en,
+                  CASE WHEN max(en) OVER pw IS NULL OR st > max(en) OVER pw + 1
+                       THEN 1 ELSE 0 END AS ni
+                FROM sp
+                WINDOW pw AS (PARTITION BY doc_id ORDER BY st
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+              gi2 AS (SELECT doc_id, st, en,
+                  sum(ni) OVER (PARTITION BY doc_id ORDER BY st
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+                FROM gi),
+              isl AS (SELECT doc_id, isl, min(st) AS s, max(en) AS e
+                FROM gi2 GROUP BY 1, 2),
+              stats AS (SELECT doc_id, count(*)::BIGINT AS n_spans,
+                  sum(e - s + 1)::BIGINT AS n_removed FROM isl GROUP BY 1),
+              tokix AS (SELECT doc_id, unnest(w) AS tok,
+                  (generate_subscripts(w, 1) - 1)::BIGINT AS i FROM b),
+              kept AS (SELECT t.doc_id,
+                  md5(string_agg(t.tok, ' ' ORDER BY t.i)) AS km
+                FROM tokix t
+                WHERE NOT EXISTS (SELECT 1 FROM isl s
+                  WHERE s.doc_id = t.doc_id AND t.i BETWEEN s.s AND s.e)
+                GROUP BY t.doc_id)
+              SELECT b.doc_id, b.n AS n_tokens,
+                coalesce(st.n_spans, 0)::BIGINT AS n_spans,
+                coalesce(st.n_removed, 0)::BIGINT AS n_removed,
+                coalesce(k.km, md5('')) AS kept_md5
+              FROM b LEFT JOIN stats st USING (doc_id)
+                     LEFT JOIN kept k USING (doc_id)"""),
+      doc = "Text: exact-substring span dedup (sliding 16-gram repeats, maximal-island excision)")
   )
 }
