@@ -145,6 +145,80 @@ object MultimodalOps {
                 sum(f7_milli)::BIGINT AS sum_f7_milli,
                 max(n_bytes)::BIGINT AS n_bytes
               FROM f GROUP BY doc_id"""),
-      doc = "Multimodal: end-to-end decode over true synthetic binary payloads")
+      doc = "Multimodal: end-to-end decode over true synthetic binary payloads"),
+
+    Q(
+      "mm5_chunk_dedup",
+      (s, dir) => {
+        // CHUNK-LEVEL STORAGE DEDUP over binary media (the object-store
+        // capacity question a multimodal corpus asks before ingest: how
+        // many bytes are actually NEW?): split every payload into fixed
+        // 64-byte chunks, hash each chunk, and report the corpus-wide
+        // dedup ledger — total vs distinct chunks, stored-vs-logical
+        // bytes, dedup permille. Fixed-size chunking is the
+        // deterministic baseline of the CDC (content-defined chunking)
+        // family; the plan shape — explode to chunks inside the scan
+        // stage, one map-side-combined hash aggregate, one single-row
+        // summary — is identical for a rolling-hash chunker, which
+        // would only change the boundary expression.
+        //
+        // Payload content is keyed on doc_id % 50 (50 distinct block
+        // streams) while LENGTH stays per-doc skewed, so residue-mates
+        // share prefixes and the dedup finds real cross-media repeats
+        // at any sf — the stand-in for near-identical clips/re-encodes.
+        // SCALE: chunk volume is linear in payload bytes; the only
+        // data-sized shuffle carries (chunk-md5, partial count) with
+        // map-side combine, and the summary is one row. At 100 TB the
+        // exact distinct-chunk ledger is the point (it IS the dedup
+        // index); a13's HLL sketch is the cheap-estimate alternative.
+        def blocksOf(id: org.apache.spark.sql.Column) =
+          when(id % 97 === 0, lit(256)).otherwise(lit(8) + id % 24)
+        val src = t(s, dir, "documents").select(
+          col("doc_id"),
+          MediaPipeline.syntheticPayload(col("doc_id") % 50, blocksOf(col("doc_id")))
+            .as("payload"))
+        val media = MediaPipeline.toMediaFrame(src, "doc_id", "payload", "synthetic")
+        val chunks = media
+          .select(col("media_id"), col("meta.n_bytes").as("nb"), col("payload"))
+          .select(explode(transform(
+            sequence(lit(0L), floor((col("nb") + 63L) / 64L).cast("long") - 1L),
+            ci => struct(
+              md5(substring(col("payload"), (ci * 64 + 1).cast("int"), lit(64))).as("h"),
+              least(lit(64L), col("nb") - ci * 64L).as("sz")))).as("c"))
+          .select(col("c.h").as("h"), col("c.sz").as("sz"))
+        chunks.groupBy(col("h"))
+          .agg(count(lit(1)).as("copies"), max(col("sz")).as("sz"))
+          .agg(
+            sum(col("copies")).as("total_chunks"),
+            count(lit(1)).as("distinct_chunks"),
+            sum(col("copies") * col("sz")).as("logical_bytes"),
+            sum(col("sz")).as("stored_bytes"))
+          .select(col("total_chunks"), col("distinct_chunks"),
+            col("logical_bytes"), col("stored_bytes"),
+            floor((col("logical_bytes") - col("stored_bytes")) * 1000 /
+              col("logical_bytes")).cast("long").as("dedup_permille"))
+      },
+      Some("""WITH n AS (SELECT doc_id,
+                  CASE WHEN doc_id % 97 = 0 THEN 256 ELSE 8 + doc_id % 24 END AS nb
+                FROM documents),
+              p AS (SELECT doc_id, nb * 16 AS n_bytes,
+                  array_to_string([md5((doc_id % 50)::VARCHAR || ':' || i::VARCHAR)
+                                   for i in range(0, nb)], '') AS hex
+                FROM n),
+              c AS (SELECT substr(hex, ci*128 + 1, 128) AS h,
+                      least(64, n_bytes - ci*64)::BIGINT AS sz
+                FROM (SELECT doc_id, n_bytes, hex,
+                        unnest(range(0, (n_bytes + 63) // 64)) AS ci
+                      FROM p)),
+              g AS (SELECT h, count(*)::BIGINT AS copies, max(sz)::BIGINT AS sz
+                FROM c GROUP BY h)
+              SELECT sum(copies)::BIGINT AS total_chunks,
+                count(*)::BIGINT AS distinct_chunks,
+                sum(copies * sz)::BIGINT AS logical_bytes,
+                sum(sz)::BIGINT AS stored_bytes,
+                floor((sum(copies * sz) - sum(sz)) * 1000.0 / sum(copies * sz))::BIGINT
+                  AS dedup_permille
+              FROM g"""),
+      doc = "Multimodal: chunk-level storage dedup ledger over binary payloads")
   )
 }
