@@ -52,6 +52,8 @@ object GraftExtensions {
       if (es.length > 1) intArg(es(1), "graft_shingle_strings") else 3)),
     "graft_content_fingerprint" -> (es => ContentFingerprint(es.head)),
     "graft_token_counts" -> (es => TokenCounts(es.head)),
+    "graft_bucket_counts" -> (es => BucketCounts(es(0),
+      intArg(es(1), "graft_bucket_counts"))),
     "graft_tok_stats" -> (es => TokStats(es.head)),
     "graft_rep_stats" -> (es => RepStats(es.head)),
     "graft_lang_id" -> (es => LangId(es.head)),

@@ -164,6 +164,21 @@ case class GreedyPieceStats(child: Expression, vocab: Array[String])
   override def prettyName: String = "graft_greedy_pieces"
 }
 
+/** Per-token md5-bucket occurrence counts, dense `array<long>` of length
+  * `n` (see `TextKernels.bucketCounts`; `n` is a plan-time constant —
+  * qc1's hashed-unigram feature dimension).
+  */
+case class BucketCounts(child: Expression, n: Int) extends NativeTextExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def kernelCall(c: String): String =
+    s"graft.expressions.TextKernels.bucketCounts($c, $n)"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.bucketCounts(input.asInstanceOf[UTF8String], n)
+  override protected def withNewChildInternal(newChild: Expression): BucketCounts =
+    copy(child = newChild)
+  override def prettyName: String = "graft_bucket_counts"
+}
+
 /** n-gram shingle strings with multiplicity (see `TextFunctions.shingles`);
   * n is a plan-time constant baked into the generated code (3 = MinHash
   * family default, 8 = span-level dedup).

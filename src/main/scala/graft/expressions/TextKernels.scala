@@ -210,6 +210,28 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Per-token md5-prefix hash-bucket occurrence counts (qc1's feature
+    * vector): bucket = the digest's first 2 bytes as an int (== the
+    * first 4 hex chars) mod `n`, identical to the column-form spec
+    * `conv(substring(md5(tok),1,4),16,10) % n`, which stays the DuckDB
+    * oracle's definition. One kernel pass replaces a 64-way interpreted
+    * filter/aggregate scan whose CollapseProject'd md5 ran once PER
+    * BUCKET per token (the 91 s sf1 reading that motivated this).
+    */
+  def bucketCounts(text: UTF8String, n: Int): ArrayData = {
+    val toks = tokenBytes(text)
+    val counts = new Array[Long](n)
+    val md = digests.get()
+    var i = 0
+    while (i < toks.length) {
+      md.reset()
+      val d = md.digest(toks(i))
+      counts((((d(0) & 0xff) << 8) | (d(1) & 0xff)) % n) += 1L
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
   /** Per-document bigram repetition stats in ONE split+hash pass:
     * `struct<n_bigrams, n_distinct_bigrams, top_bigram_m>` (all long).
     * Mirrors `TextFunctions.repStats` (shingles(2) + tokenCounts over

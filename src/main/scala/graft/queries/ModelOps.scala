@@ -145,16 +145,18 @@ object ModelOps {
         // measure-zero boundaries, e.g. margin=0 -> err exactly ±500.0,
         // which is integer-valued and rounds identically everywhere).
         val pairs = call_function("graft_token_counts", col("text"))
-        val bp = transform(pairs, p =>
-          struct(bucket(p.getField("tok"), B).as("b"), p.getField("m").as("m")))
         val nTok = aggregate(pairs, lit(0L), (a, p) => a + p.getField("m"))
         val nStop = aggregate(
           filter(pairs, p => p.getField("tok").isin(Stops.map(x => x: Any): _*)),
           lit(0L), (a, p) => a + p.getField("m"))
         val yCol = when(floor(nStop * lit(1000) / nTok) >= 61, 1L).otherwise(0L)
-        val mv = transform(sequence(lit(0), lit(B - 1)), i =>
-          aggregate(filter(bp, q => q.getField("b") === i), lit(0L),
-            (a, q) => a + q.getField("m")))
+        // dense feature vector via the one-pass kernel; `bucket` on
+        // token-counts pairs is the column-form spec it must match
+        // (NativeTextExpressionsSpec pins the parity). The naive HOF
+        // form — transform(0..63, i -> aggregate(filter(bp, b==i))) —
+        // gets its md5 subtree CollapseProject'd into all 64 bucket
+        // lambdas: 64 digests per token, 91 s at sf1 vs ~1 s here.
+        val mv = call_function("graft_bucket_counts", col("text"), lit(B))
         val features = t(s, dir, "documents")
           .select(col("doc_id"), yCol.as("y"), mv.as("mv"), nTok.as("nt"))
           .filter(col("nt") > 0).drop("nt")
@@ -186,10 +188,16 @@ object ModelOps {
             col("y").cast("double")) * 1000)
         for (_ <- 1 to 2) {
           // dense mv: every doc emits all 64 positions, so bucket 0's
-          // sum(err) is exactly the per-doc bias gradient
+          // sum(err) is exactly the per-doc bias gradient. err MUST be
+          // computed in its own select BELOW the generator: a select
+          // that mixes err with posexplode puts err in the Project
+          // ABOVE the Generate, re-evaluating the 64-lambda margin once
+          // per EXPLODED row (x64 — measured 12 s/step at sf1 vs ~1 s
+          // here); as a bare attribute it cannot be inlined through the
+          // Generate
           val g = features
-            .select(errOf(marginOf(w, bias)).as("err"),
-              posexplode(col("mv")).as(Seq("b", "m")))
+            .select(col("mv"), errOf(marginOf(w, bias)).as("err"))
+            .select(col("err"), posexplode(col("mv")).as(Seq("b", "m")))
             .groupBy(col("b"))
             .agg(sum(col("err") * col("m")).as("g"), sum(col("err")).as("ge"))
             .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap

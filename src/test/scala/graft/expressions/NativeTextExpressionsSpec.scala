@@ -72,6 +72,26 @@ class NativeTextExpressionsSpec extends SparkTestBase {
     assert(got.toSeq == spec.toSeq)
   }
 
+  test("graft_bucket_counts matches the md5-conv column-form spec") {
+    // spec: bucket = conv(substring(md5(tok),1,4),16,10) % n over token
+    // occurrences — the same expression qc1's DuckDB oracle replays with
+    // instr digit folding
+    for (n <- Seq(8, 64)) {
+      val spec = docs
+        .select(transform(sequence(lit(0L), lit(n - 1L)), i =>
+          aggregate(
+            filter(tokens(col("text")), tk =>
+              pmod(conv(substring(md5(tk), 1, 4), 16, 10).cast("long"),
+                lit(n.toLong)) === i),
+            lit(0L), (a, _) => a + 1L)).as("v"))
+        .as[Seq[Long]].collect()
+      val got = docs
+        .select(call_function("graft_bucket_counts", col("text"), lit(n)))
+        .as[Seq[Long]].collect()
+      assert(got.toSeq == spec.toSeq, s"n=$n")
+    }
+  }
+
   test("graft_content_fingerprint matches the HOF contentFingerprint spec") {
     val mixed = docs.union(Seq("MiXeD CaSe  WORDS and\tÜmläuts ÉÉ").toDF("text"))
     val spec = mixed.select(graft.functions.TextFunctions.contentFingerprint(col("text")))
