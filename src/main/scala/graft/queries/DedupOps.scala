@@ -478,19 +478,26 @@ object DedupOps {
         // exactly d2's definition via the shared minhashVerifiedPairs
         // (same banding, same collapse adaptivity, same Jaccard gate), so
         // this audit can never disagree with the dedup pass about what a
-        // duplicate is. The pair frame joins the (doc_id, split) projection
-        // twice — pair volume is band-bounded, the split frame is a narrow
-        // scan, AQE arbitrates the build side — and the output is a
-        // split-pair summary (≤6 rows at any corpus size).
-        val splitOf = {
-          val h = md5(col("doc_id").cast("string"))
-          val b = pmod(conv(substring(h, 1, 4), 16, 10).cast("long"), lit(100L))
+        // duplicate is.
+        //
+        // The split label is computed INLINE (the ds2 id-hash formula),
+        // never by joining a (doc_id, split) frame: on a dup-heavy corpus
+        // the pair stream is k²-expanded from the collapsed rep pairs
+        // (sf100's 1000× replicas → billions of narrow rows), which is
+        // fine to STREAM into a ≤6-group map-side-combined aggregate but
+        // fatal to SHUFFLE — the join formulation filled 35 GB of spill
+        // disk at sf100 before failing. A pure-function label costs one
+        // md5 per pair side and keeps the post-expansion plan
+        // shuffle-free; the only exchange anywhere carries ≤6 rows per
+        // partition.
+        def splitOf(id: org.apache.spark.sql.Column) = {
+          val b = pmod(
+            conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long"),
+            lit(100L))
           when(b < 96, "train").when(b < 98, "val").otherwise("test")
         }
-        val splits = t(s, dir, "documents").select(col("doc_id"), splitOf.as("split"))
         minhashVerifiedPairs(s, dir)
-          .join(splits.select(col("doc_id").as("doc_a"), col("split").as("sa")), Seq("doc_a"))
-          .join(splits.select(col("doc_id").as("doc_b"), col("split").as("sb")), Seq("doc_b"))
+          .select(splitOf(col("doc_a")).as("sa"), splitOf(col("doc_b")).as("sb"))
           .groupBy(
             least(col("sa"), col("sb")).as("split_lo"),
             greatest(col("sa"), col("sb")).as("split_hi"))
