@@ -36,6 +36,16 @@ object GraftSession {
       // Spark 4 otherwise rejects; read as epoch-nanos long and let the
       // table loader convert to a proper timestamp column
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // checkpointed/cached RDD blocks are stored lz4-compressed: the
+      // engine leans on localCheckpoint for reused frames (edge lists,
+      // signature frames, ANN candidates), and at decade scale their
+      // UNCOMPRESSED disk blocks are the binding resource — g1's sf100
+      // edge checkpoints (587M distinct pairs on the r8 generation)
+      // overran the machine's 35 GB of free disk and took the whole
+      // bench suite down with No-space failures. lz4 on integer-heavy
+      // rows is a 3-5x shrink for a few percent CPU; on a real cluster
+      // this is the standard setting for disk-spilled caches.
+      .config("spark.rdd.compress", "true")
       .config("spark.ui.enabled", "false")
 
   /** Local session for tests / Verify / Bench. */

@@ -89,6 +89,20 @@ class DedupCollapseSpec extends SparkTestBase {
       direct.exceptAll(run("d2_minhash_lsh")).isEmpty)
   }
 
+  test("ds3 pair accounting == d2's verified pair frame (shared definition)") {
+    // ds3's n_pairs must sum to exactly d2's row count on the SAME corpus
+    // (both dup-free sf0.001 and the 3-fold replicated dup corpus), and
+    // every pair must land in a (split_lo <= split_hi) cell — the audit
+    // can never disagree with the dedup pass about what a duplicate is
+    for (dir <- Seq("/root/testdata/sf0.001", dupDir)) {
+      val pairs = Registry.byName("d2_minhash_lsh").fn(spark, dir).count()
+      val cells = Registry.byName("ds3_split_leakage").fn(spark, dir).collect()
+      assert(cells.map(_.getLong(2)).sum == pairs,
+        s"ds3 cell sum != d2 pair count at $dir")
+      assert(cells.forall(r => r.getString(0) <= r.getString(1)))
+    }
+  }
+
   test("d2 adaptive probe: dup-free at sf0.001, dup-heavy on the replicated corpus") {
     assert(!DedupOps.hasDupShingleSets(spark, "/root/testdata/sf0.001"),
       "sf0.001 unexpectedly has duplicate shingle sets — the fast-path " +
