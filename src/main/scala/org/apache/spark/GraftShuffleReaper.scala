@@ -12,23 +12,51 @@ package org.apache.spark
   * into `No space left on device`.
   *
   * This shim lives in `org.apache.spark` to reach the package-private
-  * cleaner API and drops EVERY registered shuffle, blocking until the
-  * files are gone. It is only safe to call at a barrier where all live
-  * datasets are checkpoint- or block-backed (no in-flight job, nothing
-  * lazily derived from a prior exchange) — exactly the points where an
-  * iterative operator has just eagerly checkpointed its state. If a
-  * later stage does turn out to need a dropped shuffle, Spark recomputes
-  * it from lineage: a performance cost, never a correctness one.
+  * cleaner API. Reaping is SCOPED: a caller snapshots `liveIds` before
+  * its own shuffle-producing stages and reaps only ids registered
+  * after the snapshot — shuffles belonging to OTHER operators on the
+  * shared context (cached signature frames, a concurrent stream's
+  * state) are never touched. A forced recompute of a foreign dropped
+  * shuffle would be "perf, never correctness" only for deterministic
+  * lineage; t7's `monotonically_increasing_id` and the Ordinals
+  * zipWithIndex are not, so scope is the safety boundary, not
+  * recompute-from-lineage. As a second belt, reaping is skipped
+  * entirely (loudly) while any job is active on the context: a
+  * concurrent fetch hitting a vanishing shuffle surfaces as a
+  * mid-stage failure even when the data is deterministic.
+  *
+  * It remains safe only at a barrier where the caller's own live
+  * datasets are checkpoint- or block-backed (nothing lazily derived
+  * from one of its OWN pre-barrier exchanges); there a recompute of an
+  * own-scope shuffle is pure perf. At sf100 each reclaimed
+  * build/iteration shuffle is ~10-17 GB of local disk — the difference
+  * between completing and No-space.
   */
 object GraftShuffleReaper {
 
-  /** Drop all registered shuffles' map outputs and files, blocking. */
-  def dropAll(sc: SparkContext): Unit = {
-    val cleanerOpt = sc.cleaner
+  /** Ids of every shuffle currently registered on the context — the
+    * snapshot a scoped caller takes BEFORE creating its own shuffles.
+    */
+  def liveIds(sc: SparkContext): Set[Int] = SparkEnv.get.mapOutputTracker match {
+    case m: MapOutputTrackerMaster => m.shuffleStatuses.keys.toSet
+    case _                         => Set.empty
+  }
+
+  /** Drop the map outputs and files of every shuffle NOT in `keep`,
+    * blocking until the files are gone. No-op (with a stderr note) when
+    * other jobs are running on the context — reaping mid-job could fail
+    * a concurrent fetch, and the disk win can wait for the next barrier.
+    */
+  def dropCreatedSince(sc: SparkContext, keep: Set[Int]): Unit = {
+    if (sc.statusTracker.getActiveJobIds.nonEmpty) {
+      System.err.println(
+        "[GraftShuffleReaper] active jobs on context — skipping reap at this barrier")
+      return
+    }
     SparkEnv.get.mapOutputTracker match {
       case m: MapOutputTrackerMaster =>
-        val ids = m.shuffleStatuses.keys.toArray
-        cleanerOpt match {
+        val ids = m.shuffleStatuses.keys.toArray.filterNot(keep)
+        sc.cleaner match {
           case Some(cleaner) =>
             ids.foreach(id => cleaner.doCleanupShuffle(id, blocking = true))
           case None =>
@@ -40,4 +68,10 @@ object GraftShuffleReaper {
       case _ => // executor-side tracker: nothing to do
     }
   }
+
+  /** Unscoped reap — every registered shuffle. Only for a context the
+    * caller owns outright (single-query probes); operators on the shared
+    * registry session must snapshot + `dropCreatedSince`.
+    */
+  def dropAll(sc: SparkContext): Unit = dropCreatedSince(sc, Set.empty)
 }
