@@ -342,6 +342,48 @@ object DedupOps {
       inter.cast("double") / (size(a) + size(b) - inter).cast("double")
     }
 
+  /** Identical-shingle-set groups `(sh, rep = min doc_id, members
+    * sorted)` — the MinHash family's collapse frame (cf. simhashGroups /
+    * embedGroups), shared by d2/d5/ds3 via the family cache.
+    */
+  private def shGroups(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "shgroups") {
+      shingled(s, dir)
+        .groupBy(col("sh"))
+        .agg(min(col("doc_id")).as("rep"),
+          sort_array(collect_list(col("doc_id"))).as("members"))
+    }
+
+  /** Jaccard-verified COLLAPSED pair frame `(ms_a, ms_b, jaccard)` — one
+    * row per qualifying pair of DISTINCT shingle sets, member rosters
+    * unexpanded. minhashVerifiedPairs explodes it into the full doc-pair
+    * list (d2's output IS the pairs); counting consumers (ds3) aggregate
+    * the rosters arithmetically instead — expanding k²-in-duplication
+    * member pairs just to count them into ≤6 groups cost 531 s at sf100.
+    */
+  private def verifiedGroupPairs(s: SparkSession, dir: String): DataFrame = {
+    val groups = shGroups(s, dir)
+    // native codegen'd signature (graft.expressions.MinhashBands);
+    // DedupFunctions.minhashBandKeys is the HOF spec
+    val bands = groups
+      .select(col("rep"),
+        explode(call_function("graft_minhash_bands",
+          col("sh"), lit(12), lit(4), lit(3))).as("band_key"))
+      .localCheckpoint(false) // signature hashing runs once, not per join side
+    val fpPairs = bands.select(col("band_key"), col("rep").as("rep_a"))
+      .join(bands.select(col("band_key"), col("rep").as("rep_b")), Seq("band_key"))
+      .filter(col("rep_a") < col("rep_b"))
+      .select(col("rep_a"), col("rep_b")).distinct()
+    fpPairs
+      .join(groups.select(col("rep").as("rep_a"), col("sh").as("sh_a"),
+        col("members").as("ms_a")), Seq("rep_a"))
+      .join(groups.select(col("rep").as("rep_b"), col("sh").as("sh_b"),
+        col("members").as("ms_b")), Seq("rep_b"))
+      .select(col("ms_a"), col("ms_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
   /** d2's verified near-dup pair frame `(doc_a, doc_b, jaccard)` —
     * extracted so other operators (ds3's split-leakage audit) consume the
     * SAME candidate generation + verification instead of re-deriving a
@@ -388,36 +430,12 @@ object DedupOps {
           jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
     } else {
-      val groups = materialized(s, dir, "shgroups") {
-        shingled(s, dir)
-          .groupBy(col("sh"))
-          .agg(min(col("doc_id")).as("rep"),
-            sort_array(collect_list(col("doc_id"))).as("members"))
-      }
-      // native codegen'd signature (graft.expressions.MinhashBands);
-      // DedupFunctions.minhashBandKeys is the HOF spec
-      val bands = groups
-        .select(col("rep"),
-          explode(call_function("graft_minhash_bands",
-            col("sh"), lit(12), lit(4), lit(3))).as("band_key"))
-        .localCheckpoint(false) // signature hashing runs once, not per join side
-      val fpPairs = bands.select(col("band_key"), col("rep").as("rep_a"))
-        .join(bands.select(col("band_key"), col("rep").as("rep_b")), Seq("band_key"))
-        .filter(col("rep_a") < col("rep_b"))
-        .select(col("rep_a"), col("rep_b")).distinct()
-      val cross = fpPairs
-        .join(groups.select(col("rep").as("rep_a"), col("sh").as("sh_a"),
-          col("members").as("ms_a")), Seq("rep_a"))
-        .join(groups.select(col("rep").as("rep_b"), col("sh").as("sh_b"),
-          col("members").as("ms_b")), Seq("rep_b"))
-        .select(col("ms_a"), col("ms_b"),
-          jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
+      val cross = verifiedGroupPairs(s, dir)
         .select(explode(col("ms_a")).as("da"), col("ms_b"), col("jaccard"))
         .select(col("da"), explode(col("ms_b")).as("db"), col("jaccard"))
         .select(least(col("da"), col("db")).as("doc_a"),
           greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
-      val intra = groups.filter(size(col("members")) >= 2)
+      val intra = shGroups(s, dir).filter(size(col("members")) >= 2)
         .withColumn("jaccard", jaccard(col("sh"), col("sh")))
         .filter(col("jaccard") >= 0.5)
         .select(explode(col("members")).as("doc_a"), col("members"), col("jaccard"))
@@ -481,27 +499,80 @@ object DedupOps {
         // duplicate is.
         //
         // The split label is computed INLINE (the ds2 id-hash formula),
-        // never by joining a (doc_id, split) frame: on a dup-heavy corpus
-        // the pair stream is k²-expanded from the collapsed rep pairs
-        // (sf100's 1000× replicas → billions of narrow rows), which is
-        // fine to STREAM into a ≤6-group map-side-combined aggregate but
-        // fatal to SHUFFLE — the join formulation filled 35 GB of spill
-        // disk at sf100 before failing. A pure-function label costs one
-        // md5 per pair side and keeps the post-expansion plan
-        // shuffle-free; the only exchange anywhere carries ≤6 rows per
-        // partition.
+        // never by joining a (doc_id, split) frame — a pure-function
+        // label costs one md5 per id and keeps every plan below
+        // shuffle-free after the pair/group stage.
         def splitOf(id: org.apache.spark.sql.Column) = {
           val b = pmod(
             conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long"),
             lit(100L))
           when(b < 96, "train").when(b < 98, "val").otherwise("test")
         }
-        minhashVerifiedPairs(s, dir)
-          .select(splitOf(col("doc_a")).as("sa"), splitOf(col("doc_b")).as("sb"))
-          .groupBy(
-            least(col("sa"), col("sb")).as("split_lo"),
-            greatest(col("sa"), col("sb")).as("split_hi"))
-          .agg(count(lit(1)).as("n_pairs"))
+        // lexicographically ordered, so (splits(i), splits(j)) with i<=j
+        // IS (split_lo, split_hi)
+        val splits = Seq("test", "train", "val")
+        // 3-long split histogram of a member roster: one md5 per member
+        // (labels bound once via let1), counted into [n_test, n_train,
+        // n_val] — the roster never leaves its group row
+        def hist(members: Column): Column =
+          let1(transform(members, m => splitOf(m))) { labs =>
+            array(splits.map(sp =>
+              size(filter(labs, x => x === sp)).cast("long")): _*)
+          }
+        if (!hasDupShingleSets(s, dir)) {
+          // dup-free corpus: the pair frame is already rep-level (linear),
+          // label both sides and count into ≤6 groups
+          minhashVerifiedPairs(s, dir)
+            .select(splitOf(col("doc_a")).as("sa"), splitOf(col("doc_b")).as("sb"))
+            .groupBy(
+              least(col("sa"), col("sb")).as("split_lo"),
+              greatest(col("sa"), col("sb")).as("split_hi"))
+            .agg(count(lit(1)).as("n_pairs"))
+        } else {
+          // Dup-heavy corpus: ds3's output is ≤6 rows, so expanding the
+          // k²-in-duplication member-pair stream just to COUNT it (531 s
+          // / 22.5× decade at sf100, and the round-8 sweep's disk
+          // poisoner) is pure waste — the straddle counts are arithmetic
+          // over per-group split histograms. A qualifying rep pair with
+          // histograms ha/hb contributes ha[i]·hb[j] pairs to combo
+          // (splits(i), splits(j)); a size-k group contributes C(h_i, 2)
+          // within-split and h_i·h_j across. Exactly the member pairs the
+          // expansion would have emitted (each doc pair maps to exactly
+          // one rep pair or one group), never materialized. Cost drops
+          // to the shared collapsed verify itself.
+          val cross = verifiedGroupPairs(s, dir)
+            .select(hist(col("ms_a")).as("ha"), hist(col("ms_b")).as("hb"))
+            .select(explode(array((for { i <- 0 to 2; j <- 0 to 2 } yield {
+              val (lo, hi) =
+                if (splits(i) <= splits(j)) (splits(i), splits(j))
+                else (splits(j), splits(i))
+              struct(lit(lo).as("split_lo"), lit(hi).as("split_hi"),
+                (col("ha").getItem(i) * col("hb").getItem(j)).as("n"))
+            }): _*)).as("c"))
+          val intra = shGroups(s, dir).filter(size(col("members")) >= 2)
+            // identical sets: jaccard = 1 ≥ 0.5 always (shingled keeps
+            // only non-empty sets) — kept as the same gate the expansion
+            // applied, for strict semantic parity
+            .filter(jaccard(col("sh"), col("sh")) >= 0.5)
+            .select(hist(col("members")).as("h"))
+            .select(explode(array((for { i <- 0 to 2; j <- i to 2 } yield {
+              val n =
+                if (i == j) {
+                  // C(h_i, 2); h(h-1) is even so the shift is exact
+                  val hi = col("h").getItem(i)
+                  shiftright(hi * (hi - 1), 1)
+                } else col("h").getItem(i) * col("h").getItem(j)
+              struct(lit(splits(i)).as("split_lo"), lit(splits(j)).as("split_hi"),
+                n.as("n"))
+            }): _*)).as("c"))
+          cross.unionByName(intra)
+            .select(col("c.split_lo").as("split_lo"),
+              col("c.split_hi").as("split_hi"), col("c.n").as("n"))
+            .groupBy(col("split_lo"), col("split_hi"))
+            .agg(sum(col("n")).as("n_pairs"))
+            // the expansion emitted a combo row only if pairs existed
+            .filter(col("n_pairs") > 0)
+        }
       },
       Some(s"""WITH $ShingleCte,
               sig AS (SELECT doc_id, sh,

@@ -103,6 +103,29 @@ class DedupCollapseSpec extends SparkTestBase {
     }
   }
 
+  test("ds3 histogram arithmetic == labeled expansion of d2's pair list") {
+    // on the dup corpus ds3 takes the group-histogram branch (no member
+    // pair is ever materialized); the semantic reference is the old
+    // expansion: label BOTH sides of every d2 pair with the ds2 id-hash
+    // split and count per (lo, hi) cell. Per-cell equality here is what
+    // lets the sf0.01 oracle (which only sees the dup-free branch) stand
+    // in for the branch that actually runs at decade scale.
+    def splitOf(id: org.apache.spark.sql.Column) = {
+      val b = pmod(
+        conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long"),
+        lit(100L))
+      when(b < 96, "train").when(b < 98, "val").otherwise("test")
+    }
+    val expanded = run("d2_minhash_lsh")
+      .select(splitOf(col("doc_a")).as("sa"), splitOf(col("doc_b")).as("sb"))
+      .groupBy(least(col("sa"), col("sb")).as("split_lo"),
+        greatest(col("sa"), col("sb")).as("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val got = run("ds3_split_leakage")
+    assert(got.exceptAll(expanded).isEmpty && expanded.exceptAll(got).isEmpty,
+      s"ds3 cells ${got.collect().toSeq} != expansion ${expanded.collect().toSeq}")
+  }
+
   test("d2 adaptive probe: dup-free at sf0.001, dup-heavy on the replicated corpus") {
     assert(!DedupOps.hasDupShingleSets(spark, "/root/testdata/sf0.001"),
       "sf0.001 unexpectedly has duplicate shingle sets — the fast-path " +
