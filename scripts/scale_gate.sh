@@ -61,20 +61,28 @@ for spec in sf1:10 sf10:100 sf100:1000; do
 done
 
 # --- 2. sf100 single-pass cold bench --------------------------------------
+# The gate artifact is Bench's FULL-MAP sidecar (SPARK_GRAFT_BENCH_OUT),
+# not the size-tiered stdout line: the stdout truncation drops the ~40
+# fastest queries once the suite is large, which is exactly how the r8
+# sweep's 17-query failure cascade stayed invisible. The sidecar always
+# carries every query plus an explicit "failed" list.
 if [ "${SKIP_SF100:-0}" != "1" ]; then
   out="bench/sf100_cold_${TAG}.json"
   echo "[scale_gate] sf100 single-pass cold bench -> $out"
-  SPARK_GRAFT_SF_DIR="$PWD/scale/sf100" \
+  SPARK_GRAFT_SF_DIR="$PWD/scale/sf100" SPARK_GRAFT_BENCH_OUT="$out" \
   SPARK_GRAFT_BENCH_REPS=1 SPARK_GRAFT_BENCH_WARMUP=0 SPARK_GRAFT_BENCH_DUAL=0 \
   SPARK_DRIVER_MEM=64g SPARK_GRAFT_SHUFFLE_PARTITIONS=128 \
-    sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' > "$out"
+    sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' \
+    > "bench/sf100_cold_${TAG}_stdout.json" || true
   python3 - "$out" "$GEN" <<'EOF'
 import json, sys
 d = json.load(open(sys.argv[1]))
 d["generation"] = sys.argv[2]
 json.dump(d, open(sys.argv[1], "w"))
-bad = sorted(k for k, v in d["queries"].items() if v < 0)
-print(f"[scale_gate] sf100 suite {d['value']:.0f}s over {len(d['queries'])} queries")
+bad = sorted(d.get("failed", []) +
+             [k for k, v in d["queries"].items() if v < 0 and k not in d.get("failed", [])])
+print(f"[scale_gate] sf100 suite {d['value']:.0f}s over {len(d['queries'])} queries"
+      f" ({len(bad)} failed)")
 if bad:
     print(f"[scale_gate] ERROR: failed at sf100: {bad}"); sys.exit(1)
 EOF

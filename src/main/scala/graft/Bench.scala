@@ -147,7 +147,14 @@ object Bench {
     val noopResults =
       if (dual) ordered.map { case (name, fn) => name -> timeOnce(name, fn, noop = true) }
       else Seq.empty
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // total = sum of SUCCESSFUL queries only — summing -1 sentinels made a
+    // failure run's total smaller than its per-query successes (the r8
+    // sf100 artifact's 1374.8 < 1431.8 reconciliation gap). Failures are
+    // reported as a first-class list instead of hiding in the sentinel
+    // values: a gate artifact must be impossible to read as "covered
+    // everything" when it didn't.
+    val failed = results.collect { case (name, v) if v == -1.0 => name }
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // The driver snapshots only the last 2000 chars of stdout and parses the
     // JSON line out of that window; sbt appends a ~75-char "[success]"
     // trailer after it. Full-precision doubles put the full-suite line at
@@ -161,10 +168,15 @@ object Bench {
     // file for the repo's own decade tooling.
     def fmt(v: Double, dec: Int): String =
       if (v == -1.0) "-1.0" else s"%.${dec}f".format(v)
+    // failures ride every artifact tier verbatim — names, not sentinels,
+    // are what a later reader greps for
+    val failedJson =
+      if (failed.isEmpty) ""
+      else s""","n_failed":${failed.size},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     def line(dec: Int): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
+      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec"$failedJson,"queries":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
     }
     // Final fallback tier: with enough queries even 1-decimal formatting
     // overflows the window (90 queries x ~23 chars > the ~1.9 KB budget).
@@ -182,7 +194,7 @@ object Bench {
       val qs = picked.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_queries":${results.size},"queries_omitted":${results.size - picked.size},"queries":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec"$failedJson,"n_queries":${results.size},"queries_omitted":${results.size - picked.size},"queries":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
     }
     val compact = {
       val l3 = line(3)
@@ -208,7 +220,7 @@ object Bench {
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull$noopJson$detailJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec"$failedJson,"queries":$qsFull$noopJson$detailJson,"sf":"$sfDir"}"""
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/bench_last.json")
     try {
       val p = java.nio.file.Paths.get(sidecar)
@@ -218,6 +230,9 @@ object Bench {
       case e: Throwable => System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
     }
     println(compact)
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[bench] ${failed.size} queries FAILED: ${failed.mkString(", ")}")
     spark.stop()
   }
 }
