@@ -143,17 +143,20 @@ object TextFunctions {
       split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
       t => trim(t) =!= lit("")))
 
-  /** Integer permille via floor over an exact double division: operands
-    * stay < 2^53 so the quotient cannot straddle an integer boundary —
-    * bit-identical to DuckDB's integer `//` after *1000, INCLUDING the
-    * zero denominator: DuckDB's `// 0` is NULL, while an unguarded
-    * double division would go NaN → non-ANSI long cast → a silent 0 for
-    * every empty-token document. The ratio idiom every quality/overlap/
-    * duplication signal uses.
+  /** Integer permille via exact integral division (`div` =
+    * IntegralDivide): bit-identical to DuckDB's integer `//` after
+    * *1000 at ANY magnitude — the earlier floor-over-double form was
+    * exact only while num*1000 stayed under 2^53, which a corpus-wide
+    * token sum (t7's denominator) can exceed at the 100 TB design point
+    * (ADVICE r8). Both operands are nonnegative counts here, so
+    * truncation == floor == DuckDB's `//`. The zero-denominator guard
+    * mirrors DuckDB: `// 0` is NULL (Spark's non-ANSI div also nulls,
+    * but the explicit guard keeps the contract visible). The ratio
+    * idiom every quality/overlap/duplication signal uses.
     */
   def permille(num: Column, den: Column): Column =
     when(den === 0, lit(null))
-      .otherwise(floor(num.cast("double") * 1000d / den.cast("double")))
+      .otherwise(call_function("div", num.cast("long") * 1000L, den.cast("long")))
       .cast("long")
 
   /** Tiny per-language marker lexicons (stopword heuristic) for language

@@ -201,6 +201,16 @@ object ModelOps {
             .groupBy(col("b"))
             .agg(sum(col("err") * col("m")).as("g"), sum(col("err")).as("ge"))
             .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+          // the bias gradient is read from ONE bucket's sum(err), valid
+          // only while graft_bucket_counts stays dense (every doc emits
+          // all B positions, so each bucket's ge is the full per-doc err
+          // sum). Assert the invariant on the frame just collected —
+          // dense ⟺ all B buckets present with IDENTICAL ge — so a
+          // sparse-kernel change fails here, not as a silent per-bucket
+          // partial sum that only the oracle would catch (ADVICE r8).
+          require(g.isEmpty || (g.size == B && g.valuesIterator.map(_._2).toSet.size == 1),
+            s"qc1 bias gradient needs a dense ${B}-bucket feature vector: " +
+              s"got ${g.size} buckets, ge values ${g.valuesIterator.map(_._2).toSet}")
           w = Array.tabulate(B) { b =>
             w(b) - math.floor(g.getOrElse(b, (0L, 0L))._1.toDouble / nDocs / 10).toLong
           }

@@ -111,7 +111,18 @@ object TableLayout {
     if (fs.exists(old)) {
       if (!fs.exists(target))
         require(fs.rename(old, target), s"compact: cannot restore $old")
-      else fs.delete(old, true)
+      else {
+        // both present: treat __compact_old as debris ONLY if the target
+        // really holds a parquet dataset — a torn swap whose rollback
+        // also failed can leave a half-written stage at target, and
+        // deleting old there would destroy the only pre-image
+        val targetHasData = fs.listStatus(target).exists(s =>
+          s.isFile && s.getPath.getName.endsWith(".parquet") && s.getLen > 0)
+        require(targetHasData,
+          s"compact: both $target and $old exist but $target has no parquet " +
+            s"files — refusing to delete the pre-image; repair manually")
+        fs.delete(old, true)
+      }
     }
     val parts = fs.listStatus(target).filter(s =>
       s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -126,8 +137,15 @@ object TableLayout {
     catch {
       case e: Throwable =>
         // put the pre-image back so an in-process failure never leaves
-        // the dataset path empty
-        fs.rename(old, target)
+        // the dataset path empty. If the swap-in failed because something
+        // now occupies target, this rollback fails too — that must be
+        // LOUD (the pre-image survives under __compact_old and the next
+        // compact()'s repair branch needs to see an intact target before
+        // it treats old as debris), not a silent boolean drop.
+        if (!fs.rename(old, target))
+          System.err.println(
+            s"[TableLayout] rollback rename $old -> $target FAILED; " +
+              s"pre-image remains at $old for the next compact()'s repair")
         throw e
     }
     fs.delete(old, true)
