@@ -46,6 +46,20 @@ object GraftSession {
       // rows is a 3-5x shrink for a few percent CPU; on a real cluster
       // this is the standard setting for disk-spilled caches.
       .config("spark.rdd.compress", "true")
+      // Kryo for DATA serialization (RDD block store + broadcast values;
+      // closures always stay on Java serialization). The checkpoint-heavy
+      // operators (g1's 1.17B-row DISK_ONLY adjacency, ANN/CC/dedup
+      // frames) pay the block serializer on every store AND every re-scan;
+      // JavaSerializationStream's per-object bookkeeping (type handles,
+      // reset-interval table) was a measured chunk of g1's sf100 build —
+      // UnsafeRow implements KryoSerializable as a raw byte-copy. Standard
+      // production setting; SQL shuffles are unaffected (UnsafeRowSerializer
+      // regardless). SPARK_GRAFT_SERIALIZER=java reverts — kept as an env
+      // toggle so serializer regressions can be bisected without a rebuild.
+      .config("spark.serializer",
+        if (sys.env.get("SPARK_GRAFT_SERIALIZER").contains("java"))
+          "org.apache.spark.serializer.JavaSerializer"
+        else "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
 
   /** Local session for tests / Verify / Bench. */

@@ -20,10 +20,9 @@ object GraphOps {
     * parquet under the scale dir, read from filesystem metadata (no Spark
     * job). The eager-checkpoint + shuffle-reaper machinery below exists to
     * survive a ~35 GB scratch budget at sf100; paying its blocking
-    * materializations, DISK_ONLY writes, and System.gc pauses on a 10 MB
-    * input tripled g1's sf0.1 time (1.75 → 5.36 s, BENCH_r07→r08). Same
-    * adaptive-execution idea as DedupOps.hasDupShingleSets, with an even
-    * cheaper probe.
+    * materializations and DISK_ONLY writes on a 10 MB input tripled g1's
+    * sf0.1 time (1.75 → 5.36 s, BENCH_r07→r08). Same adaptive-execution
+    * idea as DedupOps.hasDupShingleSets, with an even cheaper probe.
     */
   private[queries] def tableBytes(s: SparkSession, dir: String, table: String): Long = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
@@ -47,14 +46,29 @@ object GraphOps {
     * bias identical in both engines; classic double-precision PageRank
     * would instead be non-reproducible ACROSS RUNS of the same engine.)
     *
-    * Scale shape (both modes): the rank vector is |nodes| rows; each
-    * iteration folds out-degree into it (a nodes-by-nodes co-partitioned
-    * join) and shuffles only that prepared |nodes|-sized frame into the
-    * adjacency's src partitioning (localCheckpoint preserves
-    * outputPartitioning, so EnsureRequirements inserts no exchange on the
-    * edge side); the contribution aggregation's dst exchange is the one
-    * irreducible |edges| shuffle per iteration — that IS the sparse
-    * matrix-vector product.
+    * Scale shape (both modes), tuned so the per-iteration cost is ONE
+    * read of the adjacency plus the one irreducible |edges| exchange
+    * (the contribution aggregation — that IS the sparse matrix-vector
+    * product), and nothing |edges|-sized is ever sorted more than once:
+    *
+    *  - the adjacency is bare (src, dst) pairs, hash-partitioned by src
+    *    and SORTED by src within partitions ONCE, checkpointed through
+    *    [[org.apache.spark.sql.GraftPartitionedCheckpoint]] so the
+    *    layout survives the checkpoint boundary (a plain localCheckpoint
+    *    reports UnknownPartitioning under AQE — the r7/r8 plans silently
+    *    re-exchanged AND re-sorted the 1.17B-row adjacency EVERY
+    *    iteration; that hidden 3× |edges| shuffle dominated the first
+    *    disk-bound measurement, 1259 s vs r7's 655 s). With the layout
+    *    visible, every iteration's sort-merge join consumes the
+    *    checkpoint scan directly: no exchange, no sort.
+    *  - out-degree is a property of the NODE: it is aggregated once
+    *    (exchange-free on the src-partitioned adjacency) and carried IN
+    *    the |nodes|-sized rank vector, so each iteration's contribution
+    *    is a row-local projection (`pr div outdeg`) — no per-iteration
+    *    nodes⋈deg fold join, and no |edges|-wide out-degree column.
+    *  - the rank update joins base(id) ⋈ inflow(dst) co-partitioned; its
+    *    sort-merge output order (id ASC) survives the checkpoint, so
+    *    later iterations sort nothing on the rank side either.
     *
     * `diskBound` selects the storage/reclamation regime:
     *
@@ -62,7 +76,7 @@ object GraphOps {
     *    adjacency and rank vectors are LAZY memory-and-disk
     *    localCheckpoints; the three iterations unroll into one job and
     *    the ContextCleaner reclaims shuffles whenever GC runs. Fastest
-    *    at sf≤10 — no blocking materializations, no forced gc.
+    *    at sf≤10 — no blocking materializations.
     *
     *  - true (the sf100 regime): every multi-GB transient is EAGERLY
     *    materialized and the previous step's now-dead shuffle files are
@@ -82,57 +96,75 @@ object GraphOps {
     * Reclamation is SCOPED (ADVICE r8): `reapKeep` is the set of shuffle
     * ids alive before the CALLER started building this operator's inputs
     * — only ids registered after it are dropped, so shared-session state
-    * (cached signature frames, concurrent streams) is never reaped.
+    * (cached signature frames, concurrent streams) is never reaped. The
+    * dead rank checkpoints themselves (|nodes|-sized, ~100 MB) are left
+    * to the ContextCleaner — the forced System.gc() an earlier form used
+    * to free them cost multi-second full-GC pauses per barrier on a 64g
+    * heap for megabytes of disk.
     */
   def pagerank(edges: DataFrame, iters: Int,
-      afterAdjacency: () => Unit = () => (),
       diskBound: Boolean = false,
-      reapKeep: Set[Int] = Set.empty): DataFrame = {
+      reapKeep: Set[Int] = Set.empty,
+      dedupEdges: Boolean = false): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val session = edges.sparkSession
-    def reclaim(): Unit = if (diskBound) {
+    def reclaim(): Unit = if (diskBound)
       org.apache.spark.GraftShuffleReaper.dropCreatedSince(session.sparkContext, reapKeep)
-      // lets the block manager release now-dead checkpoint blocks too
-      // (the caller's unpersist in afterAdjacency)
-      System.gc()
-    }
     def ckpt(df: DataFrame): DataFrame =
       if (diskBound) df.localCheckpoint(true, StorageLevel.DISK_ONLY)
       else df.localCheckpoint(false)
-    // the caller typically just materialized its own edge staging (g1's
-    // eager pair-set checkpoint) — reclaim those build shuffles before
-    // the adjacency build writes its own
+    val level = if (diskBound) StorageLevel.DISK_ONLY else StorageLevel.MEMORY_AND_DISK
+    val parts = session.conf.get("spark.sql.shuffle.partitions").toInt
+    // SPARK_GRAFT_G1_PHASES=1: stderr wall-clock per phase (adjacency /
+    // base / count / each iteration) — the only way to attribute a
+    // multi-hundred-second diskBound run, since the quieted log4j config
+    // drops the DAGScheduler stage lines
+    val phases = sys.env.get("SPARK_GRAFT_G1_PHASES").contains("1")
+    var t0 = System.nanoTime()
+    def phase(name: String): Unit = if (phases) {
+      val t1 = System.nanoTime()
+      System.err.println(f"[g1-phase] $name ${(t1 - t0) / 1e9}%.1f s")
+      t0 = t1
+    }
+    // layout-preserving checkpoints (GraftPartitionedCheckpoint): plain
+    // localCheckpoint reports UnknownPartitioning under AQE, so every
+    // iteration re-exchanged AND re-sorted the full adjacency — the
+    // r7/r8 plans carried that hidden |edges| shuffle ×3. dedupEdges
+    // folds the caller's edge-dedup into the same repartition (one
+    // |edges| shuffle builds the adjacency, total), so the whole build
+    // is a single pipelined job: scan → join → explode → exchange →
+    // dedup → sort → store.
+    val adj = org.apache.spark.sql.GraftPartitionedCheckpoint(
+      edges.select(col("src"), col("dst")),
+      parts, Seq("src"), Seq("src"), eager = diskBound, level,
+      dedupCols = if (dedupEdges) Seq("src", "dst") else Nil)
+    // the adjacency owns the edge data now — the caller's build shuffles
+    // (orders⋈lineitem join, ~12 GB at sf100) and the repartition above
+    // are dead; reclaim before the iterations write
+    phase("adjacency")
     reclaim()
-    val e = edges.select(col("src"), col("dst"))
-    // bare (src, dst) pairs, hash-partitioned by src once. Out-degree is
-    // NOT stored per edge — that widened the |edges|-sized frame 50% for
-    // a value that is a property of the NODE: it lives in the
-    // |nodes|-sized deg frame and folds into the rank vector before each
-    // iteration.
-    val adj = ckpt(e.repartition(col("src")))
-    // the adjacency now owns the edge data — let the caller release its
-    // staging (g1 unpersists the pair-set checkpoint here: ~8 GB of
-    // blocks that would otherwise sit on disk through every iteration)
-    afterAdjacency()
-    reclaim()
-    // deg/nodes re-read the src-partitioned checkpoint exchange-free;
-    // nothing recomputes the edge derivation
-    val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint(false)
-    val nodes = adj.select(col("src").as("id")).distinct().localCheckpoint(false)
-    val n = nodes.count()
+    phase("reclaim-build")
+    // (id, outdeg): one exchange-free pass over the src-partitioned
+    // adjacency; |nodes|-sized, checkpointed because every iteration's
+    // rank update re-reads it
+    val base = org.apache.spark.sql.GraftPartitionedCheckpoint(
+      adj.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+        .select(col("src").as("id"), col("outdeg")),
+      parts, Seq("id"), Seq("id"), eager = diskBound, level)
+    phase("base")
+    val n = base.count()
+    phase("count")
     val teleport = (150000000000L / n) * 1L // 0.15 * 1e12, floored once
-    var pr = nodes.select(col("id"), lit(1000000000000L / n).as("pr"))
+    // rank vector carries outdeg alongside pr: (id, outdeg, pr)
+    var pr = base.withColumn("pr", lit(1000000000000L / n))
     for (_ <- 1 to iters) {
-      // fold outdeg into the rank side (both |nodes|-sized, same
-      // partitioning) so the edge probe carries ready-made contributions
-      val prepared = pr.join(deg, pr("id") === deg("src"))
-        .select(col("id"), expr("pr div outdeg").as("contrib"))
+      // row-local: each node's ready-made contribution, no fold join
+      val prepared = pr.select(col("id"), expr("pr div outdeg").as("contrib"))
       val inflow = adj.join(prepared, col("id") === adj("src"))
         .select(col("dst"), col("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("inflow"))
-      val next = nodes.join(inflow, nodes("id") === inflow("dst"), "left")
-        .select(nodes("id"),
+      val next = base.join(inflow, base("id") === inflow("dst"), "left")
+        .select(base("id"), base("outdeg"),
           (lit(teleport) + expr("(85 * coalesce(inflow, 0L)) div 100")).as("pr"))
       // diskBound: materialize now, truncate lineage, then drop the
       // previous iteration's shuffle files (this loop's only multi-GB
@@ -140,9 +172,10 @@ object GraphOps {
       // unroll into ONE job (r7's shape), and the full tree stays
       // visible to the plan-fingerprint harness instead of collapsing
       // to a single ExistingRDD scan line.
-      pr = if (diskBound) { val p = ckpt(next); reclaim(); p } else next
+      pr = if (diskBound) { val p = ckpt(next); reclaim(); phase("iter"); p }
+        else next
     }
-    pr
+    pr.select(col("id"), col("pr"))
   }
 
   def qs: Seq[Q] = Seq(
@@ -153,37 +186,46 @@ object GraphOps {
         // c ordered a line from supplier s. Integer namespacing (2k for
         // customers, 2k+1 for suppliers) keeps the key spaces disjoint at
         // 16 bytes/edge — the string form ("c123") cost ~2.5x the block
-        // store and hit disk-full at sf100. The distinct pair set is
-        // checkpointed because the bidirectional union consumes it twice;
-        // without it the orders⋈lineitem distinct would run twice in one
-        // job. pagerank then pins its own src-partitioned adjacency for
-        // the iterations.
+        // store and hit disk-full at sf100. Pair DEDUP rides the
+        // adjacency build: each raw co-purchase pair explodes into its
+        // two directions FIRST, and the duplicate directed edges are
+        // dropped inside the adjacency's src-partitioning (dedupEdges —
+        // HashPartitioning(src) clusters (src,dst), so the dedup costs
+        // no exchange; a duplicated pair duplicates BOTH of its directed
+        // edges, so dedup-by-(src,dst) ≡ distinct-on-pairs). Earlier
+        // forms paid a dedicated 600M-row distinct shuffle plus — once
+        // the overlapping build shuffles overran sf100 disk — an eager
+        // 587M-row pair-set staging checkpoint between them; fused, the
+        // build is one pipelined job, two shuffles total (the join and
+        // the adjacency repartition), and peak scratch stays ~30 GB
+        // without any staging barrier.
         val diskBound = tableBytes(s, dir, "lineitem") >= DiskBoundThresholdBytes
         // reap scope: everything alive BEFORE g1 builds anything is
         // someone else's (cached family frames, streams) — keep it
         val keep = if (diskBound)
           org.apache.spark.GraftShuffleReaper.liveIds(s.sparkContext)
         else Set.empty[Int]
-        val pairs = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        // diskBound: the build join is big-big (150M orders ⋈ 600M
+        // lineitem at sf100) — the default sort-merge strategy sorts BOTH
+        // shuffled sides (9.6 GB + 2.4 GB of external-sort work, the
+        // probe's 7 GB spill) to produce a stream whose order the next
+        // operator (the src repartition) immediately destroys. A shuffled
+        // hash join builds a 1.2M-entry per-task map on the orders side
+        // and streams lineitem unsorted: zero sorts, zero spill. At small
+        // sf the un-hinted planner broadcasts orders, which is better
+        // still — the hint would override it, so it is scale-gated.
+        val ordersSide = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val edges = (if (diskBound) ordersSide.hint("shuffle_hash") else ordersSide)
           .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
             col("l_orderkey") === col("o_orderkey"))
           .select((col("o_custkey").cast("long") * 2).as("c"),
             (col("l_suppkey").cast("long") * 2 + 1).as("s"))
-          .distinct()
-        // |pairs|-sized (587M at sf100) — DISK_ONLY for the same
-        // unified-region reasons as the adjacency checkpoint, EAGER so
-        // the 600M-row join+distinct build shuffles (~25 GB of files)
-        // are reclaimed before the adjacency build writes its own
-        val ce = if (diskBound)
-          pairs.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
-        else pairs.localCheckpoint(false)
-        val edges = ce.select(col("c").as("src"), col("s").as("dst"))
-          .unionAll(ce.select(col("s").as("src"), col("c").as("dst")))
-        // once pagerank's adjacency is materialized the pair set is dead
-        // weight — drop its blocks so iterations run against the
-        // adjacency alone (at sf100 this returns ~8 GB of scratch)
-        pagerank(edges, 3, afterAdjacency = () => { ce.unpersist(true); () },
-          diskBound = diskBound, reapKeep = keep)
+          .select(explode(array(
+            struct(col("c").as("src"), col("s").as("dst")),
+            struct(col("s").as("src"), col("c").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        pagerank(edges, 3, diskBound = diskBound, reapKeep = keep,
+          dedupEdges = true)
       },
       Some("""WITH ce AS (SELECT DISTINCT 2 * o_custkey AS c, 2 * l_suppkey + 1 AS s
                 FROM orders JOIN lineitem ON l_orderkey = o_orderkey),

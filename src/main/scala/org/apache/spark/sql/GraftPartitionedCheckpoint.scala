@@ -1,0 +1,90 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, SortOrder}
+import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.functions.col
+import org.apache.spark.storage.StorageLevel
+
+/** A localCheckpoint that ACTUALLY preserves hash partitioning and
+  * intra-partition ordering across the checkpoint boundary.
+  *
+  * `Dataset.localCheckpoint` wraps the materialized RDD in a `LogicalRDD`
+  * carrying `physicalPlan.outputPartitioning` — but under adaptive
+  * execution the physical plan is an `AdaptiveSparkPlanExec`, whose
+  * reported partitioning is `UnknownPartitioning(0)`. Every checkpoint in
+  * the engine therefore loses its layout, and co-partitioned consumers
+  * re-shuffle (and re-sort) the checkpointed data from scratch: g1's
+  * iteration joins re-exchanged + re-sorted the 1.17B-row adjacency on
+  * EVERY iteration despite the `repartition(src)` before the checkpoint
+  * (the committed r7/r8 plans show the exchange; the "localCheckpoint
+  * preserves outputPartitioning" design note they carried was wrong).
+  *
+  * This shim (in `org.apache.spark.sql` to reach the `private[sql]`
+  * `classic.Dataset.ofRows`, same precedent as `GraftShuffleReaper`)
+  * makes the preservation explicit and SAFE:
+  *
+  *  - it performs the shuffle itself with a PINNED partition count
+  *    (`repartition(n, cols)` → REPARTITION_BY_NUM), which adaptive
+  *    execution never coalesces or skew-splits — so the claimed
+  *    `HashPartitioning(cols, n)` is exactly what the blocks physically
+  *    are. A bare `repartition(cols)` would NOT be safe to re-claim:
+  *    AQE may coalesce its output, and a coalesced layout no longer maps
+  *    rows to `murmur3(cols) % n`.
+  *  - it sorts within partitions and re-claims the same `SortOrder`s, so
+  *    downstream sort-merge joins reuse the checkpoint's order instead
+  *    of re-sorting.
+  *  - it rebuilds the `LogicalRDD` with the same output attributes and
+  *    RDD, only overriding partitioning/ordering; self-join attribute
+  *    deduplication still works because `LogicalRDD.newInstance`
+  *    rewrites both through the new exprIds.
+  */
+object GraftPartitionedCheckpoint {
+
+  /** Checkpoint `df` hash-partitioned by `partCols` into exactly
+    * `numPartitions` partitions, sorted within partitions by `sortCols`
+    * (ascending, nulls first — sort-merge-join order), with the layout
+    * visible to downstream planning.
+    *
+    * `dedupCols` (optional) deduplicates rows by those columns INSIDE the
+    * established partitioning: `HashPartitioning(partCols)` satisfies the
+    * aggregate's `ClusteredDistribution(dedupCols)` whenever `partCols ⊆
+    * dedupCols`, so the dedup costs no exchange of its own and the
+    * partitioning claim stays exact (a hash aggregate never moves rows
+    * across partitions). This is how g1 folds its 600M-pair `distinct`
+    * into the adjacency repartition — the standalone distinct cost a
+    * dedicated |pairs| shuffle PLUS an eager staging checkpoint whose
+    * only purpose was bounding the disk the two overlapping shuffles
+    * consumed.
+    */
+  def apply(df: DataFrame, numPartitions: Int, partCols: Seq[String],
+      sortCols: Seq[String], eager: Boolean, level: StorageLevel,
+      dedupCols: Seq[String] = Nil): DataFrame = {
+    require(dedupCols.isEmpty || partCols.forall(dedupCols.contains),
+      s"dedup by $dedupCols inside a $partCols partitioning is only " +
+        "exchange-free (and the claim only stays true) when partCols ⊆ dedupCols")
+    val session = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val parted = df.repartition(numPartitions, partCols.map(col): _*)
+    val deduped =
+      if (dedupCols.isEmpty) parted else parted.dropDuplicates(dedupCols)
+    val shaped = deduped.sortWithinPartitions(sortCols.map(col): _*)
+    val ck =
+      if (level == StorageLevel.MEMORY_AND_DISK) shaped.localCheckpoint(eager)
+      else shaped.localCheckpoint(eager, level)
+    val lr = ck.queryExecution.analyzed match {
+      case l: LogicalRDD => l
+      case other => throw new IllegalStateException(
+        s"localCheckpoint did not produce a LogicalRDD: ${other.getClass}")
+    }
+    def attr(n: String): Attribute = lr.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $n not in checkpoint output ${lr.output.map(_.name)}"))
+    val part = HashPartitioning(partCols.map(attr), numPartitions)
+    val ord = sortCols.map(n =>
+      SortOrder(attr(n), Ascending, Ascending.defaultNullOrdering, Seq.empty))
+    val rewrapped =
+      LogicalRDD(lr.output, lr.rdd, part, ord, lr.isStreaming, lr.stream)(
+        session, None, None)
+    classic.Dataset.ofRows(session, rewrapped)
+  }
+}
