@@ -134,9 +134,15 @@ object GraphOps {
     // |edges| shuffle builds the adjacency, total), so the whole build
     // is a single pipelined job: scan → join → explode → exchange →
     // dedup → sort → store.
+    // NO within-partition sort on the adjacency: the iteration joins are
+    // pinned shuffled-hash in the diskBound regime (the |nodes|-sized rank
+    // frame is the build side — ~130k entries per task at sf100), so
+    // nothing ever needs the |edges| frame in sorted order and the build
+    // skips a 1.17B-row external sort. At small sf the un-hinted planner
+    // broadcasts the rank side, which needs no order either.
     val adj = org.apache.spark.sql.GraftPartitionedCheckpoint(
       edges.select(col("src"), col("dst")),
-      parts, Seq("src"), Seq("src"), eager = diskBound, level,
+      parts, Seq("src"), Nil, eager = diskBound, level,
       dedupCols = if (dedupEdges) Seq("src", "dst") else Nil)
     // the adjacency owns the edge data now — the caller's build shuffles
     // (orders⋈lineitem join, ~12 GB at sf100) and the repartition above
@@ -150,30 +156,46 @@ object GraphOps {
     val base = org.apache.spark.sql.GraftPartitionedCheckpoint(
       adj.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
         .select(col("src").as("id"), col("outdeg")),
-      parts, Seq("id"), Seq("id"), eager = diskBound, level)
+      parts, Seq("id"), Nil, eager = diskBound, level)
     phase("base")
     val n = base.count()
     phase("count")
     val teleport = (150000000000L / n) * 1L // 0.15 * 1e12, floored once
     // rank vector carries outdeg alongside pr: (id, outdeg, pr)
     var pr = base.withColumn("pr", lit(1000000000000L / n))
+    // Iteration joins are pinned shuffled-hash with the |nodes|-sized
+    // side as build: both sides of each join already sit in the SAME
+    // claimed HashPartitioning, so the join is exchange-free either way,
+    // but sort-merge would demand BOTH sides sorted — an |edges|-sized
+    // sort the adjacency deliberately no longer has (at sf1/sf10 the
+    // rank side is past the broadcast threshold, so the un-hinted
+    // planner would SMJ and re-sort the full adjacency EVERY iteration).
+    // The hash build is per-task |nodes|/parts entries — ~130k at sf100.
+    // The hint also displaces broadcast at tiny sf, where the two are
+    // equivalent here: the probe side is already partitioned, so
+    // broadcast saves no exchange, and the per-task builds are micromaps.
+    def rankSide(df: DataFrame): DataFrame = df.hint("shuffle_hash")
     for (_ <- 1 to iters) {
       // row-local: each node's ready-made contribution, no fold join
-      val prepared = pr.select(col("id"), expr("pr div outdeg").as("contrib"))
+      val prepared = rankSide(pr.select(col("id"), expr("pr div outdeg").as("contrib")))
       val inflow = adj.join(prepared, col("id") === adj("src"))
         .select(col("dst"), col("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("inflow"))
-      val next = base.join(inflow, base("id") === inflow("dst"), "left")
+      val next = base.join(rankSide(inflow), base("id") === inflow("dst"), "left")
         .select(base("id"), base("outdeg"),
           (lit(teleport) + expr("(85 * coalesce(inflow, 0L)) div 100")).as("pr"))
-      // diskBound: materialize now, truncate lineage, then drop the
-      // previous iteration's shuffle files (this loop's only multi-GB
-      // transients). Otherwise: no checkpoint at all — the iterations
-      // unroll into ONE job (r7's shape), and the full tree stays
-      // visible to the plan-fingerprint harness instead of collapsing
-      // to a single ExistingRDD scan line.
-      pr = if (diskBound) { val p = ckpt(next); reclaim(); phase("iter"); p }
-        else next
+      // diskBound: materialize now (layout-claimed, so the next
+      // iteration's rank-side consumption is exchange-free), truncate
+      // lineage, then drop the previous iteration's shuffle files (this
+      // loop's only multi-GB transients). Otherwise: no checkpoint at
+      // all — the iterations unroll into ONE job (r7's shape), and the
+      // full tree stays visible to the plan-fingerprint harness instead
+      // of collapsing to a single ExistingRDD scan line.
+      pr = if (diskBound) {
+        val p = org.apache.spark.sql.GraftPartitionedCheckpoint(
+          next, parts, Seq("id"), Nil, eager = true, level)
+        reclaim(); phase("iter"); p
+      } else next
     }
     pr.select(col("id"), col("pr"))
   }

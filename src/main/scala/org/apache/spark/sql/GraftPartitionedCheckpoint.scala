@@ -67,7 +67,9 @@ object GraftPartitionedCheckpoint {
     val parted = df.repartition(numPartitions, partCols.map(col): _*)
     val deduped =
       if (dedupCols.isEmpty) parted else parted.dropDuplicates(dedupCols)
-    val shaped = deduped.sortWithinPartitions(sortCols.map(col): _*)
+    val shaped =
+      if (sortCols.isEmpty) deduped
+      else deduped.sortWithinPartitions(sortCols.map(col): _*)
     val ck =
       if (level == StorageLevel.MEMORY_AND_DISK) shaped.localCheckpoint(eager)
       else shaped.localCheckpoint(eager, level)
