@@ -78,6 +78,29 @@ class PartitionedCheckpointSpec extends SparkTestBase {
     }
   }
 
+  test("sortCols=Nil: partitioning-only claim, shuffled-hash join exchange-free") {
+    // g1's iteration shape: no within-partition sort anywhere, the
+    // co-partitioned join pinned shuffled-hash instead of sort-merge —
+    // the claim must still kill the exchange, and must NOT invent an
+    // ordering (a falsely-claimed SortOrder would silently corrupt any
+    // downstream sort-merge join that trusts it)
+    val adj = GraftPartitionedCheckpoint(edges, 8, Seq("src"), Nil,
+      eager = true, StorageLevel.MEMORY_AND_DISK)
+    assert(adj.queryExecution.executedPlan.outputOrdering.isEmpty,
+      "no-sort checkpoint must not claim an ordering")
+    val j = adj.join(ranks.hint("shuffle_hash"), col("id") === adj("src"))
+      .groupBy(col("dst")).agg(sum(col("w")).as("x"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"expected SHJ:\n$plan")
+    assert(!plan.linesIterator.exists(_.contains("Exchange hashpartitioning(src")),
+      s"adjacency re-exchanged despite the claim:\n$plan")
+    val got = j.orderBy(col("dst")).as[(Long, Long)].collect().toSeq
+    val exp = edges.join(ranks, col("id") === col("src"))
+      .groupBy(col("dst")).agg(sum(col("w")).as("x"))
+      .orderBy(col("dst")).as[(Long, Long)].collect().toSeq
+    assert(got == exp)
+  }
+
   test("self-join through two claimed checkpoints stays correct") {
     // the newInstance/dedup path: the same checkpoint consumed twice in
     // one plan with conflicting attribute ids
