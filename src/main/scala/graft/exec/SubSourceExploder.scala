@@ -3,8 +3,6 @@ package graft.exec
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraftFunctions.MultiValueDelim
-
 /** P9: multi-value explode into "sub-source records"
   * (reference etl/target/c3dc_etl.py:1407-1460).
   *
@@ -12,14 +10,19 @@ import graft.functions.GraftFunctions.MultiValueDelim
   * row is cloned once per distinct sorted trimmed value with derived ids
   * `{id}_{1..n}`; single-valued rows pass through unchanged. One narrow
   * `posexplode` — no shuffle, fully pipelined.
+  *
+  * The value-set derivation is the codegen'd `graft_multi_values` kernel
+  * (`expressions/TextKernels.multiValues`), not the equivalent HOF tree:
+  * Catalyst re-evaluates the derivation THREE times per row (the inferred
+  * `size(vals) > 0` Generate filter, the `multi` arm, the value arm), and
+  * lambda-bearing HOFs run interpreted AND fence off whole-stage codegen —
+  * the tree form was the entire cost of P9 at decade scale.
   */
 object SubSourceExploder {
   def explode(source: DataFrame, sourceField: String, idField: String): DataFrame = {
     val f = col("`" + sourceField + "`").cast("string")
     val id = col("`" + idField + "`").cast("string")
-    val vals = array_sort(array_distinct(
-      filter(transform(split(coalesce(f, lit("")), MultiValueDelim), x => trim(x)),
-        x => x =!= lit(""))))
+    val vals = call_function("graft_multi_values", coalesce(f, lit("")))
     val multi = size(vals) > 1
     source
       .withColumn("__vals", when(multi, vals).otherwise(array(f)))

@@ -51,6 +51,7 @@ object GraftExtensions {
     "graft_shingle_strings" -> (es => ShingleStrings(es.head,
       if (es.length > 1) intArg(es(1), "graft_shingle_strings") else 3)),
     "graft_content_fingerprint" -> (es => ContentFingerprint(es.head)),
+    "graft_multi_values" -> (es => MultiValues(es.head)),
     "graft_token_counts" -> (es => TokenCounts(es.head)),
     "graft_bucket_counts" -> (es => BucketCounts(es(0),
       intArg(es(1), "graft_bucket_counts"))),

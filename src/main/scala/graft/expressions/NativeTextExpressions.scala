@@ -183,6 +183,21 @@ case class BucketCounts(child: Expression, n: Int) extends NativeTextExpression 
   * n is a plan-time constant baked into the generated code (3 = MinHash
   * family default, 8 = span-level dedup).
   */
+/** Canonical `;`-multi-value array: split, trim, drop empties, distinct,
+  * byte-order sort (the P9 sub-source value set — see
+  * `exec/SubSourceExploder` and `TextKernels.multiValues` for parity notes).
+  */
+case class MultiValues(child: Expression) extends NativeTextExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def kernelCall(c: String): String =
+    s"graft.expressions.TextKernels.multiValues($c)"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.multiValues(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): MultiValues =
+    copy(child = newChild)
+  override def prettyName: String = "graft_multi_values"
+}
+
 case class ShingleStrings(child: Expression, n: Int = 3) extends NativeTextExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override protected def kernelCall(c: String): String =

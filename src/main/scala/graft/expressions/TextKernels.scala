@@ -338,4 +338,40 @@ object TextKernels {
     }
     new GenericArrayData(Array(pieces, covered, wchars))
   }
+
+  /** `;`-delimited multi-value canonicalization: split, trim spaces, drop
+    * empties, distinct, sort. One tight loop replacing the interpreted
+    * 6-deep HOF tree (split → transform(trim) → filter → array_distinct →
+    * array_sort) that P9's sub-source explode — and Catalyst's inferred
+    * `size(...) > 0` Generate filter — evaluated per row THREE times, each
+    * outside whole-stage codegen. Parity notes: trim removes 0x20 only
+    * (Spark's `trim`, NOT Java's `String.trim` which eats all control
+    * chars); sort order is UTF8String byte comparison (what `array_sort`
+    * uses for strings, NOT UTF-16 `String` order — they differ above the
+    * BMP). `MultiValuesKernelSpec`-style parity is asserted in
+    * NativeTextExpressionsSpec against the HOF formulation.
+    */
+  def multiValues(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val set = new java.util.TreeSet[UTF8String]()
+    val n = str.length
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || str.charAt(i) == ';') {
+        var a = start
+        var b = i
+        while (a < b && str.charAt(a) == ' ') a += 1
+        while (b > a && str.charAt(b - 1) == ' ') b -= 1
+        if (b > a) set.add(UTF8String.fromString(str.substring(a, b)))
+        start = i + 1
+      }
+      i += 1
+    }
+    val out = new Array[AnyRef](set.size)
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
 }

@@ -207,6 +207,38 @@ class NativeTextExpressionsSpec extends SparkTestBase {
     assert(got == spec)
   }
 
+  test("graft_multi_values matches the HOF split-trim-distinct-sort tree") {
+    import graft.functions.GraftFunctions.MultiValueDelim
+    def hofVals(c: org.apache.spark.sql.Column) =
+      array_sort(array_distinct(
+        filter(transform(split(coalesce(c, lit("")), MultiValueDelim), x => trim(x)),
+          x => x =!= lit(""))))
+    val cases = Seq(
+      "1;URGENT", "URGENT;1", " a ; b;a;  ", ";;", "", "solo", "a;;b; ;c",
+      "B;A;C;B", "Ü;é; Ü ", "x" + ";" * 5 + "y", "tab\there;no trim of\tme ",
+      "5-LOW", "1-URGENT;1-URGENT").toDF("v")
+    val got = cases.select(call_function("graft_multi_values", col("v")))
+      .as[Seq[String]].collect().toSeq
+    val spec = cases.select(hofVals(col("v"))).as[Seq[String]].collect().toSeq
+    assert(got == spec)
+    // randomized: delimiter runs, space runs, dup values, unicode
+    val rnd = new scala.util.Random(4242)
+    val toks = Vector("URGENT", "LOW", "a", "b", " c ", "Ü", "", " ", "x y")
+    val rand = Seq.fill(300) {
+      Seq.fill(rnd.nextInt(6))(toks(rnd.nextInt(toks.size)))
+        .mkString(if (rnd.nextBoolean()) ";" else ";;")
+    }.toDF("v").localCheckpoint(false)
+    val g2 = rand.select(call_function("graft_multi_values", col("v")))
+      .as[Seq[String]].collect().toSeq
+    val s2 = rand.select(hofVals(col("v"))).as[Seq[String]].collect().toSeq
+    assert(g2 == s2)
+    // null in -> null out (the call site coalesces, but the kernel must
+    // still be null-safe on its own)
+    val nl = Seq[Option[String]](None).toDF("v")
+      .select(call_function("graft_multi_values", col("v"))).collect()
+    assert(nl(0).isNullAt(0))
+  }
+
   test("null input yields null, not a crash") {
     val n = Seq[Option[String]](None, Some("a b c d")).toDF("text")
     val r = n.select(
