@@ -96,10 +96,21 @@ object ScaleUp {
 
   /** Write one parquet FILE (not directory) at `dest`, matching the driver's
     * testdata layout so DuckDB's literal-path views keep working.
+    *
+    * Row groups are capped at 16 MB (vs the 128 MB default): Spark splits
+    * a parquet scan by byte range but a row group is the atomic unit, so
+    * the default left sf10's orders with 2 row groups and sf100's
+    * documents with 5 — every text/dedup query in the suite was scanning
+    * on ≤5 of 32 cores while looking io-bound. A real 100 TB table is
+    * thousands of files and saturates any core count; small groups give
+    * the single-file replica the same scan parallelism without changing
+    * the literal `{table}.parquet` paths the DuckDB oracle views read.
     */
   private def writeSingleFile(df: DataFrame, dest: String): Unit = {
     val tmp = dest + "_tmp"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    df.coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", (16L << 20).toString)
+      .parquet(tmp)
     val part = scala.util.Using.resource(Files.list(Paths.get(tmp))) { stream =>
       stream.filter { p =>
         val n = p.getFileName.toString
