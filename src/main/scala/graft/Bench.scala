@@ -43,6 +43,15 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // --list: print every registry query name (one per line, "query:<n>")
+    // and exit without starting Spark — scale_gate.sh's cohort splitter
+    // uses this to prove its cohorts are a disjoint COVER of the full
+    // registry instead of hardcoding a count (a silently-skipped query is
+    // exactly the r8 failure mode the gate exists to prevent).
+    if (args.contains("--list")) {
+      SparkEntry.queries.keys.toSeq.sorted.foreach(n => println(s"query:$n"))
+      return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // optional args: query-name prefixes to time (default: all) — lets a
     // perf investigation re-measure one suspect query without paying for

@@ -49,26 +49,30 @@ object GraphOps {
     * Scale shape (both modes), tuned so the per-iteration cost is ONE
     * read of the adjacency plus the one irreducible |edges| exchange
     * (the contribution aggregation — that IS the sparse matrix-vector
-    * product), and nothing |edges|-sized is ever sorted more than once:
+    * product), and nothing |edges|-sized is ever sorted at all:
     *
     *  - the adjacency is bare (src, dst) pairs, hash-partitioned by src
-    *    and SORTED by src within partitions ONCE, checkpointed through
+    *    with sortCols = Nil (the iteration joins are pinned
+    *    shuffled-hash, so no operator ever demands the |edges| frame in
+    *    sorted order and the build skips a 1.17B-row external sort),
+    *    checkpointed through
     *    [[org.apache.spark.sql.GraftPartitionedCheckpoint]] so the
     *    layout survives the checkpoint boundary (a plain localCheckpoint
     *    reports UnknownPartitioning under AQE — the r7/r8 plans silently
     *    re-exchanged AND re-sorted the 1.17B-row adjacency EVERY
     *    iteration; that hidden 3× |edges| shuffle dominated the first
     *    disk-bound measurement, 1259 s vs r7's 655 s). With the layout
-    *    visible, every iteration's sort-merge join consumes the
+    *    visible and the joins hash-based, every iteration consumes the
     *    checkpoint scan directly: no exchange, no sort.
     *  - out-degree is a property of the NODE: it is aggregated once
     *    (exchange-free on the src-partitioned adjacency) and carried IN
     *    the |nodes|-sized rank vector, so each iteration's contribution
     *    is a row-local projection (`pr div outdeg`) — no per-iteration
     *    nodes⋈deg fold join, and no |edges|-wide out-degree column.
-    *  - the rank update joins base(id) ⋈ inflow(dst) co-partitioned; its
-    *    sort-merge output order (id ASC) survives the checkpoint, so
-    *    later iterations sort nothing on the rank side either.
+    *  - the rank update joins base(id) ⋈ inflow(dst) co-partitioned and
+    *    hash-based; the rank checkpoints claim partitioning only (no
+    *    ordering), so later iterations exchange nothing on the rank side
+    *    either and nothing is ever sorted on either side of any join.
     *
     * `diskBound` selects the storage/reclamation regime:
     *
@@ -108,11 +112,15 @@ object GraphOps {
       dedupEdges: Boolean = false): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val session = edges.sparkSession
+    // Reaper safety contract (see GraftShuffleReaper's scaladoc): the
+    // snapshot-then-reap is check-then-act — a shuffle registered by a
+    // CONCURRENT operator after the caller took `reapKeep` would not be in
+    // the keep set and would be reaped. Safe here because diskBound only
+    // fires in the single-query-at-a-time decade harness (Bench/scale_gate
+    // run queries serially); a future concurrent-query session must either
+    // disable diskBound or take the snapshot under a shared lock.
     def reclaim(): Unit = if (diskBound)
       org.apache.spark.GraftShuffleReaper.dropCreatedSince(session.sparkContext, reapKeep)
-    def ckpt(df: DataFrame): DataFrame =
-      if (diskBound) df.localCheckpoint(true, StorageLevel.DISK_ONLY)
-      else df.localCheckpoint(false)
     val level = if (diskBound) StorageLevel.DISK_ONLY else StorageLevel.MEMORY_AND_DISK
     val parts = session.conf.get("spark.sql.shuffle.partitions").toInt
     // SPARK_GRAFT_G1_PHASES=1: stderr wall-clock per phase (adjacency /
@@ -206,9 +214,18 @@ object GraphOps {
       (s, dir) => {
         // undirected bipartite co-purchase graph: c<->s whenever customer
         // c ordered a line from supplier s. Integer namespacing (2k for
-        // customers, 2k+1 for suppliers) keeps the key spaces disjoint at
-        // 16 bytes/edge — the string form ("c123") cost ~2.5x the block
-        // store and hit disk-full at sf100. Pair DEDUP rides the
+        // customers, 2k+1 for suppliers) keeps the key spaces disjoint,
+        // and the namespaced ids are INT32: 8 bytes/edge halves the
+        // DISK_ONLY adjacency store, the build shuffle, and every
+        // per-iteration contribution exchange — the three quantities
+        // that dominate the diskBound band (r9: 16-byte edges, 443-518 s
+        // at sf100). Domain bound: 2*custkey < 2^31 holds to custkey
+        // ~1.07e9 (sf100 has 15M; ScaleUp keeps replica keys dense), and
+        // ANSI mode (Spark 4 default) makes an overflowing cast a loud
+        // runtime error, never a silent wrap. The string form ("c123")
+        // cost ~2.5x the block store and hit disk-full at sf100; the
+        // output widens id back to BIGINT so the oracle schema is
+        // unchanged. Pair DEDUP rides the
         // adjacency build: each raw co-purchase pair explodes into its
         // two directions FIRST, and the duplicate directed edges are
         // dropped inside the adjacency's src-partitioning (dedupEdges —
@@ -240,14 +257,15 @@ object GraphOps {
         val edges = (if (diskBound) ordersSide.hint("shuffle_hash") else ordersSide)
           .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
             col("l_orderkey") === col("o_orderkey"))
-          .select((col("o_custkey").cast("long") * 2).as("c"),
-            (col("l_suppkey").cast("long") * 2 + 1).as("s"))
+          .select((col("o_custkey").cast("int") * 2).as("c"),
+            (col("l_suppkey").cast("int") * 2 + 1).as("s"))
           .select(explode(array(
             struct(col("c").as("src"), col("s").as("dst")),
             struct(col("s").as("src"), col("c").as("dst")))).as("e"))
           .select(col("e.src").as("src"), col("e.dst").as("dst"))
         pagerank(edges, 3, diskBound = diskBound, reapKeep = keep,
           dedupEdges = true)
+          .select(col("id").cast("long").as("id"), col("pr"))
       },
       Some("""WITH ce AS (SELECT DISTINCT 2 * o_custkey AS c, 2 * l_suppkey + 1 AS s
                 FROM orders JOIN lineitem ON l_orderkey = o_orderkey),

@@ -38,6 +38,13 @@ import org.apache.spark.storage.StorageLevel
   *    RDD, only overriding partitioning/ordering; self-join attribute
   *    deduplication still works because `LogicalRDD.newInstance`
   *    rewrites both through the new exprIds.
+  *
+  * VERSION COUPLING: written against Spark 4.1.2 internals
+  * (`classic.Dataset.ofRows`, the `LogicalRDD` constructor shape) and the
+  * 4.1.2 AQE invariant that REPARTITION_BY_NUM output is never coalesced
+  * or skew-split. Any Spark upgrade must re-run `PartitionedCheckpointSpec`
+  * FIRST — it asserts the claimed layout is both plan-visible and
+  * physically true, which is exactly what a behavior change here breaks.
   */
 object GraftPartitionedCheckpoint {
 
@@ -63,6 +70,16 @@ object GraftPartitionedCheckpoint {
     require(dedupCols.isEmpty || partCols.forall(dedupCols.contains),
       s"dedup by $dedupCols inside a $partCols partitioning is only " +
         "exchange-free (and the claim only stays true) when partCols ⊆ dedupCols")
+    // layout columns bind by NAME (here and in attr() below) — duplicate
+    // names would let the claim bind the wrong attribute, so ambiguity is
+    // an error up front, with a clearer message than the analyzer's
+    (partCols ++ sortCols ++ dedupCols).distinct.foreach { n =>
+      val hits = df.columns.count(_ == n)
+      require(hits == 1,
+        s"layout column $n matches $hits output columns " +
+          s"(${df.columns.mkString(", ")}) — partCols/sortCols/dedupCols " +
+          "must each name exactly one column; rename/prune before checkpointing")
+    }
     val session = df.sparkSession.asInstanceOf[classic.SparkSession]
     val parted = df.repartition(numPartitions, partCols.map(col): _*)
     val deduped =
@@ -78,9 +95,18 @@ object GraftPartitionedCheckpoint {
       case other => throw new IllegalStateException(
         s"localCheckpoint did not produce a LogicalRDD: ${other.getClass}")
     }
-    def attr(n: String): Attribute = lr.output.find(_.name == n).getOrElse(
-      throw new IllegalArgumentException(
-        s"column $n not in checkpoint output ${lr.output.map(_.name)}"))
+    // layout columns bind by NAME — with duplicate output names the first
+    // match would silently claim a layout the blocks may not have (e.g. a
+    // post-join frame carrying both sides' `id`), so ambiguity is an error
+    def attr(n: String): Attribute = lr.output.filter(_.name == n) match {
+      case Seq(a) => a
+      case Seq() => throw new IllegalArgumentException(
+        s"column $n not in checkpoint output ${lr.output.map(_.name)}")
+      case many => throw new IllegalArgumentException(
+        s"column $n is ambiguous in checkpoint output (${many.size} attributes " +
+          s"named $n) — the claimed layout could bind the wrong one; " +
+          "rename/prune to unique names before checkpointing")
+    }
     val part = HashPartitioning(partCols.map(attr), numPartitions)
     val ord = sortCols.map(n =>
       SortOrder(attr(n), Ascending, Ascending.defaultNullOrdering, Seq.empty))

@@ -101,6 +101,18 @@ class PartitionedCheckpointSpec extends SparkTestBase {
     assert(got == exp)
   }
 
+  test("duplicate layout-column names are rejected, not silently bound") {
+    // layout columns bind by NAME; a frame carrying two `src` columns
+    // (e.g. a post-join residue) could otherwise claim a layout the
+    // blocks don't have (ADVICE r9). Ambiguity must be a loud error.
+    val dup = (1 to 10).map(i => (i % 3, i)).toDF("src", "src")
+    val e = intercept[IllegalArgumentException] {
+      GraftPartitionedCheckpoint(dup, 8, Seq("src"), Nil,
+        eager = false, StorageLevel.MEMORY_AND_DISK)
+    }
+    assert(e.getMessage.contains("matches 2 output columns"))
+  }
+
   test("self-join through two claimed checkpoints stays correct") {
     // the newInstance/dedup path: the same checkpoint consumed twice in
     // one plan with conflicting attribute ids
