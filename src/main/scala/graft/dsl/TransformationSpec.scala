@@ -83,9 +83,17 @@ object TransformationSpec {
       mappings = Option(t.get("mappings")).map(_.elements().asScala.toSeq)
         .getOrElse(Nil).map(parseMapping))
 
-  private def parseMapping(m: JsonNode): Mapping =
+  private def parseMapping(m: JsonNode): Mapping = {
+    // C1 startup validation: a mapping without a well-formed output_field
+    // is a config error with a message, never an NPE/MatchError later
+    val of = Option(m.get("output_field")).filterNot(_.isNull).map(_.asText())
+      .getOrElse(throw new IllegalArgumentException(
+        s"mapping missing output_field: $m"))
+    val parts = of.split("\\.", 2)
+    require(parts.length == 2 && parts(0).nonEmpty && parts(1).nonEmpty,
+      s"output_field must be 'node.property', got '$of'")
     Mapping(
-      outputField = m.get("output_field").asText(),
+      outputField = of,
       sourceField = Option(m.get("source_field")).map(_.asText()).getOrElse("[string_literal]"),
       typeGroupIndex = Option(m.get("type_group_index"))
         .filterNot(_.isNull).map(_.asText()).getOrElse("*"),
@@ -98,6 +106,7 @@ object TransformationSpec {
             newValue = Option(r.get("new_value")).filterNot(_.isNull)
               .map(parseValue).getOrElse(ReplacementValue.Scalar("")))
         })
+  }
 
   private def parseValue(n: JsonNode): ReplacementValue =
     if (n.isArray) ReplacementValue.Arr(n.elements().asScala.map(_.asText()).toSeq)

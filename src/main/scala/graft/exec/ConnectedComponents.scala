@@ -25,6 +25,42 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Layout-preserving checkpoints for the iteration frames (default on;
+    * `SPARK_GRAFT_CC_CLAIMED=0` restores the plain distinct+checkpoint
+    * shape so the win stays A/B-measurable without a rebuild — same
+    * precedent as the serializer toggle in GraftSession).
+    *
+    * Why: a plain localCheckpoint under AQE reports UnknownPartitioning
+    * (the g1 discovery, see GraftPartitionedCheckpoint), so every
+    * consumer of a checkpointed iteration frame re-exchanges it. In
+    * star contraction `large` is consumed twice per round keyed by `u`
+    * (the min aggregation and the re-attach join); in min-label
+    * propagation `bidir` is keyed by `src` ONCE but joined on `src`
+    * every round. Claiming the layout makes those consumers
+    * exchange-free, and the pinned shuffled-hash join hints keep any
+    * |edges|-sized frame from ever being sorted (no claimed ordering —
+    * sort-merge would re-sort it per round).
+    */
+  private def claimed: Boolean = !sys.env.get("SPARK_GRAFT_CC_CLAIMED").contains("0")
+
+  /** Checkpoint `df` deduplicated by (u, v) with a claimed hash(`keyCol`)
+    * layout — the dedup rides the repartition (keyCol ⊆ dedup cols), so
+    * this costs the same one shuffle as the `.distinct()` it replaces.
+    * Trade-off vs distinct's (u,v) keying: partitions follow keyCol alone,
+    * so a hub node's edges land in one partition and AQE cannot split it
+    * (REPARTITION_BY_NUM is pinned — that pinning is what makes the claim
+    * safe). Collapsed near-dup graphs have bounded degree, so the skew
+    * exposure is the same one g1 accepted for its adjacency.
+    */
+  private def dedupCkpt(df: DataFrame, keyCol: String): DataFrame =
+    if (claimed) {
+      val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      org.apache.spark.sql.GraftPartitionedCheckpoint(
+        df, parts, Seq(keyCol), Nil, eager = false,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+        dedupCols = Seq("u", "v"))
+    } else df.distinct().localCheckpoint(false)
+
   /** Size-adaptive entry point — the broadcast-join logic applied to graph
     * clustering: a small edge set (it is known exactly after candidate
     * generation) is solved with driver-side union-find in one collect,
@@ -43,7 +79,13 @@ object ConnectedComponents {
     val fwd = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .localCheckpoint(false)
-    if (fwd.count() > localThreshold) starContraction(fwd, "src", "dst", maxIter)
+    val n = fwd.count()
+    // dispatch disclosure: decade forensics need to know WHICH path a
+    // measured run took (the distributed loop's perf work is invisible in
+    // a run where the local path fired)
+    System.err.println(s"[cc] $n collapsed edges -> " +
+      (if (n > localThreshold) "distributed star contraction" else "driver union-find"))
+    if (n > localThreshold) starContraction(fwd, "src", "dst", maxIter)
     else {
       // union-find with path halving; roots then remapped to component min
       val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -132,16 +174,19 @@ object ConnectedComponents {
     while (!converged && iter < maxIter) {
       // large-star over both directions: m(u) = min(u, min neighbor)
       val bidir = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      // mins is |nodes|-sized — the shuffled-hash hint keeps the join from
+      // demanding BOTH sides sorted (sort-merge would re-sort the |edges|
+      // bidir frame every round; the hash build is per-task |nodes|/parts)
       val mins = bidir.groupBy(col("u"))
         .agg(least(col("u"), min(col("v"))).as("m"))
-      val large = bidir.join(mins, "u")
-        .filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
-        .localCheckpoint(false) // two consumers below (groupBy + join)
+      val large = dedupCkpt( // claimed hash(u): both consumers below are
+        bidir.join(mins.hint("shuffle_hash"), "u") // then exchange-free
+          .filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v")),
+        "u")
       // small-star on canonical edges: m(u) = min smaller-neighbor
       val mins2 = large.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val next = large.join(mins2, "u")
+      val next = large.join(mins2.hint("shuffle_hash"), "u")
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(mins2.select(col("u"), col("m").as("v")))
@@ -187,13 +232,28 @@ object ConnectedComponents {
     // no distinct() on the edge list: duplicate edges cannot change a min,
     // they only fan out the join a little — cheaper than a dedup shuffle
     val fwd = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-    val bidir = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(false)
+    val parts = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // bidir keeps the SAME src keying across every propagation round (the
+    // g1 adjacency pattern) — claim hash(src) once so each round's join
+    // consumes the checkpoint scan with no exchange and (via the
+    // shuffled-hash hint below) no sort; a plain checkpoint reports
+    // UnknownPartitioning and re-exchanges the |2·edges| frame per round
+    val bidirRaw = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val bidir =
+      if (claimed) org.apache.spark.sql.GraftPartitionedCheckpoint(
+        bidirRaw, parts, Seq("src"), Nil, eager = false,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else bidirRaw.localCheckpoint(false)
     // label init FUSED with propagation round 1: each node's first label is
     // min(self, neighbors) from one aggregation, no init frame + no join
-    var labels = bidir.groupBy(col("src").as("id"))
-      .agg(least(min(col("src")), min(col("dst"))).as("label"))
-      .localCheckpoint(false)
+    // (exchange-free on the claimed src keying)
+    def ckptLabels(df: DataFrame): DataFrame =
+      if (claimed) org.apache.spark.sql.GraftPartitionedCheckpoint(
+        df, parts, Seq("id"), Nil, eager = false,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df.localCheckpoint(false)
+    var labels = ckptLabels(bidir.groupBy(col("src").as("id"))
+      .agg(least(min(col("src")), min(col("dst"))).as("label")))
     // Convergence via the label-sum invariant: min-propagation only ever
     // DECREASES labels, so sum(label) is strictly monotone until the fixed
     // point — an unchanged sum IS convergence. One tiny aggregate per round
@@ -205,11 +265,14 @@ object ConnectedComponents {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val prop = bidir.join(labels.withColumnRenamed("id", "src"), "src")
+      // labels side: |nodes|-sized build, claimed hash(id) maps through
+      // the rename to hash(src) — co-partitioned SHJ, no exchange, no sort
+      // of the |2·edges| stream side
+      val prop = bidir
+        .join(labels.withColumnRenamed("id", "src").hint("shuffle_hash"), "src")
         .select(col("dst").as("id"), col("label"))
-      val next = labels.union(prop)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint(false)
+      val next = ckptLabels(labels.union(prop)
+        .groupBy(col("id")).agg(min(col("label")).as("label")))
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s

@@ -18,7 +18,11 @@ object TypeGroups {
     for (m <- mappings; gi <- m.typeGroupIndexes)
       grouped(gi) = grouped.getOrElse(gi, Vector.empty) :+ m
     val sorted = grouped.toSeq.sortBy { case (k, _) =>
-      if (k == "*" || k.isEmpty) 0 else k.toInt
+      // non-integer tokens are a config error with a message, not a
+      // NumberFormatException panic (C1 startup validation contract)
+      if (k == "*" || k.isEmpty) 0
+      else k.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"type_group_index token must be an integer or '*', got '$k'"))
     }
     val base = sorted.collect { case (k, ms) if k == "*" || k.isEmpty => ms }.flatten
     val nonBase = sorted.filterNot { case (k, _) => k == "*" || k.isEmpty }

@@ -65,9 +65,13 @@ final case class C3dcSchema(nodes: Map[String, NodeSpec]) {
   def node(name: String): NodeSpec =
     nodes.getOrElse(name, throw new IllegalArgumentException(s"unknown node type: $name"))
 
-  def prop(outputField: String): PropSpec = {
-    val Array(n, p) = outputField.split("\\.", 2)
-    node(n).byName.getOrElse(p,
-      throw new IllegalArgumentException(s"unknown property: $outputField"))
+  def prop(outputField: String): PropSpec = outputField.split("\\.", 2) match {
+    // a dot-less / empty-part field must be a clean config error, not a
+    // MatchError panic (C1 startup validation contract)
+    case Array(n, p) if n.nonEmpty && p.nonEmpty =>
+      node(n).byName.getOrElse(p,
+        throw new IllegalArgumentException(s"unknown property: $outputField"))
+    case _ => throw new IllegalArgumentException(
+      s"output_field must be 'node.property', got '$outputField'")
   }
 }

@@ -435,8 +435,17 @@ object JoinAggOps {
           .select(col("user_id"), col("event_type"), col("value"), col("event_id"))
         val dim = t(s, dir, "customer")
           .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
-        graft.functions.SkewFunctions
-          .saltedJoin(ev, dim, "user_id", col("event_id"), 16)
+        // SPARK_GRAFT_J10_VARIANT=aqe: plain sort-merge join in the same
+        // no-broadcast regime, relying on AQE's REACTIVE skew split
+        // (OptimizeSkewedJoin) instead of static salting — the A/B that
+        // quantifies what the salt buys at decade scale (SCALE.md r10).
+        // Default (unset) stays the salted shuffle-hash plan.
+        val joined = sys.env.get("SPARK_GRAFT_J10_VARIANT") match {
+          case Some("aqe") => ev.join(dim.hint("merge"), Seq("user_id"))
+          case _ => graft.functions.SkewFunctions
+            .saltedJoin(ev, dim, "user_id", col("event_id"), 16)
+        }
+        joined
           .groupBy(col("c_mktsegment"), col("event_type"))
           .agg(
             count(lit(1)).as("n_events"),

@@ -199,4 +199,94 @@ class MappingCompilerPropSpec extends SparkTestBase {
           s"compiled=$actual interpreter=$expected")
     }
   }
+
+  // ---- config-shape fuzzing (adversarial specs) -------------------------
+  // The reference tolerates pathological mapping configs (empty replacement
+  // lists, '*'-only groups, conflicting defaults); beyond tolerance, any
+  // INVALID shape must surface as a plan-time error with a message — an
+  // IllegalArgumentException from config validation or an AnalysisException
+  // from column resolution — never a panic (NPE / MatchError /
+  // NumberFormatException / ArrayIndexOutOfBounds) and never wrong output.
+
+  private def cleanOrValue[A](what: String)(body: => A): Option[A] =
+    try Some(body) catch {
+      case e: IllegalArgumentException =>
+        assert(e.getMessage != null && e.getMessage.nonEmpty,
+          s"$what: config error without a message"); None
+      case e: org.apache.spark.sql.AnalysisException =>
+        assert(e.getMessage.nonEmpty); None
+      case e: Throwable =>
+        fail(s"$what PANICKED with ${e.getClass.getName}: ${e.getMessage}")
+    }
+
+  test("config-shape fuzz: 400 pathological mappings compile cleanly or error cleanly") {
+    val s = spark
+    import org.apache.spark.sql.functions.lit
+    val ofGen = Gen.oneOf("profile.out", "noDot", "", "profile.", ".out",
+      "bogus.prop", "profile.nope", "profile.out.extra")
+    val sfGen = Gen.oneOf("f1", "[string_literal]", "[f1, f2]",
+      "[f1,f2,f3]", "", "[ ]", "not_a_column")
+    val tgGen = Gen.oneOf("*", "0", "1", "0,1", "", ",", "x", "-1", "1,1,*")
+    val oldG = Gen.oneOf("*", "+", "", "a", "a;b", "a;b;c", ";;", " A ", "*;+")
+    val newG = Gen.oneOf[ReplacementValue](
+      ReplacementValue.Scalar(""), ReplacementValue.Scalar("x"),
+      ReplacementValue.Arr(Nil), ReplacementValue.Arr(Seq("x", "y")),
+      ReplacementValue.Scalar("{uuid}"), ReplacementValue.Scalar("{field:f1}"),
+      ReplacementValue.Scalar("{field:not_a_column}"),
+      ReplacementValue.Scalar("{sum}"), ReplacementValue.Scalar("{bogus_macro}"))
+    val mGen = for {
+      of <- ofGen; sf <- sfGen; tg <- tgGen
+      dflt <- Gen.option(newG)
+      n <- Gen.choose(0, 3)
+      chain <- Gen.listOfN(n, Gen.zip(oldG, newG))
+    } yield Mapping(of, sf, tg, dflt, chain.map { case (o, v) => Replacement(o, v) })
+    val cases = Gen.listOfN(400, mGen)
+      .apply(Gen.Parameters.default, Seed(23L)).getOrElse(fail("gen exhausted"))
+
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val df = s.createDataFrame(
+      java.util.List.of(Row("v1", null, "3"), Row("", "B", null)),
+      StructType(Seq("f1", "f2", "f3").map(StructField(_, StringType))))
+    val compiler = new MappingCompiler(schema)
+    cases.zipWithIndex.foreach { case (m, i) =>
+      // compile is plan-time; a compiled column must also ANALYZE cleanly
+      // (resolution of bad source fields is the plan-time gate) and then
+      // execute without error — three stages, zero tolerated panics
+      cleanOrValue(s"case $i compile($m)") {
+        compiler.compile(m, CompileCtx("seed", "profile", "0", lit("rk"), i))
+      }.foreach { c =>
+        cleanOrValue(s"case $i analyze($m)")(df.select(c.as("out")))
+          .foreach { sel =>
+            cleanOrValue(s"case $i execute($m)")(sel.collect())
+          }
+      }
+      // the group collator is the other config-consuming plan-time surface
+      cleanOrValue(s"case $i collate($m)")(graft.exec.TypeGroups.collate(Seq(m)))
+      ()
+    }
+  }
+
+  test("config JSON fuzz: malformed mapping documents reject with messages, never NPE") {
+    val docs = Seq(
+      """{"mappings":[{}]}""",
+      """{"mappings":[{"output_field":null}]}""",
+      """{"mappings":[{"output_field":"noDot"}]}""",
+      """{"mappings":[{"output_field":"a."}]}""",
+      """{"mappings":[{"output_field":".b"}]}""",
+      """{"mappings":[{"output_field":"profile.out","replacement_values":[{}]}]}""",
+      """{"mappings":[{"output_field":"profile.out","replacement_values":[{"old_value":null,"new_value":null}]}]}""",
+      """{"mappings":[{"output_field":"profile.out","default_value":[1,2]}]}""",
+      """{"mappings":[{"output_field":"profile.out","type_group_index":null}]}""",
+      """{"transformations":[{"mappings":[{"output_field":"profile.out"}]},{"mappings":[{"output_field":"bad"}]}]}""")
+    docs.zipWithIndex.foreach { case (doc, i) =>
+      cleanOrValue(s"doc $i parse")(TransformationSpec.fromJson(doc)).foreach { ts =>
+        // parsed OK → every mapping must carry a well-formed output_field
+        ts.flatMap(_.mappings).foreach { m =>
+          assert(m.nodeType.nonEmpty && m.property.nonEmpty,
+            s"doc $i parsed a malformed output_field '${m.outputField}'")
+        }
+      }
+      ()
+    }
+  }
 }
