@@ -25,23 +25,41 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** Layout-preserving checkpoints for the iteration frames (default on;
-    * `SPARK_GRAFT_CC_CLAIMED=0` restores the plain distinct+checkpoint
-    * shape so the win stays A/B-measurable without a rebuild — same
-    * precedent as the serializer toggle in GraftSession).
+  /** Layout-preserving checkpoints for the iteration frames — MEASURED NET
+    * NEGATIVE here, so the default is OFF (`SPARK_GRAFT_CC_CLAIMED=1`
+    * re-enables the experiment; `graft.CcProbe` reproduces the A/B).
     *
-    * Why: a plain localCheckpoint under AQE reports UnknownPartitioning
-    * (the g1 discovery, see GraftPartitionedCheckpoint), so every
-    * consumer of a checkpointed iteration frame re-exchanges it. In
-    * star contraction `large` is consumed twice per round keyed by `u`
-    * (the min aggregation and the re-attach join); in min-label
-    * propagation `bidir` is keyed by `src` ONCE but joined on `src`
-    * every round. Claiming the layout makes those consumers
-    * exchange-free, and the pinned shuffled-hash join hints keep any
-    * |edges|-sized frame from ever being sorted (no claimed ordering —
-    * sort-merge would re-sort it per round).
+    * The hypothesis (r9 verdict): a plain localCheckpoint under AQE
+    * reports UnknownPartitioning (the g1 discovery), so claiming the
+    * layout should spare the per-round re-exchanges. The 44–50M-edge
+    * probes split the effect in two (SCALE.md r10): the SHJ HINTS alone
+    * (sort elimination) are a 1.80× win on star contraction (651.8 →
+    * 362.3 s) and are now unconditional; the layout CLAIMS on top are a
+    * measured LOSS (star 362.3 → 487.6 s; min-label 240.2 → 265.8 s).
+    * Why the claims lose: they save the per-round edge-frame exchange
+    * but BUY an upfront pinned REPARTITION_BY_NUM, an extra per-round
+    * repartition of the label frame (whose aggregation output was
+    * already correctly partitioned — the claim re-shuffles it only to
+    * make the layout *visible*), and they pin the partition count,
+    * blocking the AQE coalescing that star contraction's geometrically
+    * shrinking rounds feed on. g1's claim won because its state is
+    * SIZE-STABLE and |edges|-scale; CC's is neither. Claim a layout when
+    * the frame is large, size-stable, and reused with the same keying;
+    * hint away sorts regardless.
     */
-  private def claimed: Boolean = !sys.env.get("SPARK_GRAFT_CC_CLAIMED").contains("0")
+  private[graft] def claimed: Boolean =
+    sys.env.get("SPARK_GRAFT_CC_CLAIMED").contains("1")
+
+  /** Pinned shuffled-hash joins are UNCONDITIONAL — independently of the
+    * layout claim, they are the big win: un-hinted, every round's
+    * edge⋈mins join is sort-merge and SORTS the |2·edges| frame (and the
+    * mins side) per round; the hint eliminates every per-round sort
+    * exactly as it did for g1's iteration joins. Probe, 49.5M-edge star
+    * contraction: 651.8 s un-hinted → 362.3 s hinted (1.80×). The hash
+    * build side is the per-u mins frame — bounded by |nodes|/parts
+    * entries per task.
+    */
+  private def hinted(df: DataFrame): DataFrame = df.hint("shuffle_hash")
 
   /** Checkpoint `df` deduplicated by (u, v) with a claimed hash(`keyCol`)
     * layout — the dedup rides the repartition (keyCol ⊆ dedup cols), so
@@ -159,12 +177,19 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint(false)
 
+    // Every summed term is reduced below 2^20 FIRST, so the sums stay
+    // exact to ~8e12 rows: the original sum(u) / sum((u%p)*(v%q)) terms
+    // overflow a long (ANSI: job-killing SparkArithmeticException) at
+    // ~40M edges — caught by the 50M-edge CcProbe run, round 10. Weaker
+    // per-term entropy is fine: checksum equality only UNLOCKS the exact
+    // exceptAll comparison below, it never decides convergence itself.
     def checksum(df: DataFrame): (Long, Long, Long, Long) = {
       val r = df.agg(
         count(lit(1)),
-        coalesce(sum(col("u")), lit(0L)),
-        coalesce(sum(col("v")), lit(0L)),
-        coalesce(sum((col("u") % 1000003L) * (col("v") % 1000033L)), lit(0L))).head()
+        coalesce(sum(col("u") % 1000003L), lit(0L)),
+        coalesce(sum(col("v") % 1000033L), lit(0L)),
+        coalesce(sum((col("u") % 1000003L) * (col("v") % 1000033L) % 999983L),
+          lit(0L))).head()
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     }
 
@@ -174,19 +199,16 @@ object ConnectedComponents {
     while (!converged && iter < maxIter) {
       // large-star over both directions: m(u) = min(u, min neighbor)
       val bidir = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      // mins is |nodes|-sized — the shuffled-hash hint keeps the join from
-      // demanding BOTH sides sorted (sort-merge would re-sort the |edges|
-      // bidir frame every round; the hash build is per-task |nodes|/parts)
       val mins = bidir.groupBy(col("u"))
         .agg(least(col("u"), min(col("v"))).as("m"))
-      val large = dedupCkpt( // claimed hash(u): both consumers below are
-        bidir.join(mins.hint("shuffle_hash"), "u") // then exchange-free
+      val large = dedupCkpt(
+        bidir.join(hinted(mins), "u")
           .filter(col("v") > col("u"))
           .select(col("v").as("u"), col("m").as("v")),
-        "u")
+        "u") // two consumers below (groupBy + join)
       // small-star on canonical edges: m(u) = min smaller-neighbor
       val mins2 = large.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val next = large.join(mins2.hint("shuffle_hash"), "u")
+      val next = large.join(hinted(mins2), "u")
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(mins2.select(col("u"), col("m").as("v")))
@@ -233,11 +255,10 @@ object ConnectedComponents {
     // they only fan out the join a little — cheaper than a dedup shuffle
     val fwd = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
     val parts = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    // bidir keeps the SAME src keying across every propagation round (the
-    // g1 adjacency pattern) — claim hash(src) once so each round's join
-    // consumes the checkpoint scan with no exchange and (via the
-    // shuffled-hash hint below) no sort; a plain checkpoint reports
-    // UnknownPartitioning and re-exchanges the |2·edges| frame per round
+    // claimed regime (off by default, see `claimed`): bidir keeps the SAME
+    // src keying across every propagation round, so claiming hash(src)
+    // spares the per-round join exchange — but the probe measured the
+    // plain shape faster net of the claim's own repartitions (SCALE.md r10)
     val bidirRaw = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
     val bidir =
       if (claimed) org.apache.spark.sql.GraftPartitionedCheckpoint(
@@ -246,7 +267,6 @@ object ConnectedComponents {
       else bidirRaw.localCheckpoint(false)
     // label init FUSED with propagation round 1: each node's first label is
     // min(self, neighbors) from one aggregation, no init frame + no join
-    // (exchange-free on the claimed src keying)
     def ckptLabels(df: DataFrame): DataFrame =
       if (claimed) org.apache.spark.sql.GraftPartitionedCheckpoint(
         df, parts, Seq("id"), Nil, eager = false,
@@ -259,22 +279,23 @@ object ConnectedComponents {
     // point — an unchanged sum IS convergence. One tiny aggregate per round
     // instead of a join-and-compare pass (halves the jobs per round, which
     // is what the loop's wall time is made of once components are small).
-    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-      df.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
+    // decimal(38,0) sum: the invariant must stay EXACT (a modular sum
+    // could collide and exit with wrong labels; a long sum ANSI-overflows
+    // once |nodes| × max-id passes 2^63 — billions of nodes with wide ids)
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // labels side: |nodes|-sized build, claimed hash(id) maps through
-      // the rename to hash(src) — co-partitioned SHJ, no exchange, no sort
-      // of the |2·edges| stream side
       val prop = bidir
-        .join(labels.withColumnRenamed("id", "src").hint("shuffle_hash"), "src")
+        .join(hinted(labels.withColumnRenamed("id", "src")), "src")
         .select(col("dst").as("id"), col("label"))
       val next = ckptLabels(labels.union(prop)
         .groupBy(col("id")).agg(min(col("label")).as("label")))
       val s = labelSum(next)
-      converged = s == prevSum
+      converged = s.compareTo(prevSum) == 0 // value equality, scale-blind
       prevSum = s
       labels = next
       iter += 1
