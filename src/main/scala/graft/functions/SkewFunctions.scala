@@ -60,6 +60,13 @@ object SkewFunctions {
     * replication pointless) so the plan exercises the shape that matters
     * at dimension sizes where broadcast is impossible.
     *
+    * Measured boundary (r10 A/B, SCALE.md): on UNIFORM hotness — many
+    * equally-hot keys, e.g. the events table's 150 users — salting is
+    * 1.7–4.1× SLOWER than the plain AQE join (every post-shuffle
+    * partition is already the same size; the `shards`× dim replication
+    * and wider key are pure overhead). Reach for this ONLY when one or
+    * a few specific keys dominate; otherwise let AQE handle it.
+    *
     * `saltSource` must be deterministic per row (an id column, NOT
     * rand()) so retries and speculative tasks shard identically.
     */
