@@ -23,6 +23,14 @@ for f in sorted(sys.argv[4:]):
     failed += d.get("failed", [])
     cohorts[f] = sorted(qs)
 
+# Bench runs each cohort's queries in sorted order with WARMUP=0, so the
+# alphabetically-first query of every cohort absorbs that JVM's cold start
+# (session spin-up, codegen, sf-dir parquet footers, shared signature
+# frames) — its reading is an upper bound. Name them so a reader never
+# mistakes the absorption for a regression (r10: a2_duplicate_ids read
+# 83.9s as c3's first query vs 30.1s mid-suite in r9).
+firsts = {f: qs[0] for f, qs in cohorts.items() if qs}
+
 missing = names - set(merged)
 extra = set(merged) - names
 assert not missing, f"cohorts do not cover registry: missing {sorted(missing)}"
@@ -33,9 +41,12 @@ doc = {
     "metric": "total", "value": total, "unit": "sec",
     "queries": merged, "sf": "scale/sf100", "generation": gen,
     "cohorts": cohorts,
+    "cohort_firsts": firsts,
     "cohort_note": ("fresh JVM per cohort, single-pass cold; fast cohort "
                     "(prior <5s) first so sub-second queries time against "
-                    "an unpolluted block manager"),
+                    "an unpolluted block manager; each cohort's "
+                    "alphabetically-first query (cohort_firsts) absorbs "
+                    "that JVM's cold start — treat it as an upper bound"),
 }
 bad = sorted(set(failed) | {k for k, v in merged.items() if v < 0})
 if bad:

@@ -163,4 +163,23 @@ class ConnectedComponentsSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 8L -> 8L, 9L -> 8L))
   }
+
+  test("huge node ids don't overflow the convergence arithmetic (ANSI regression)") {
+    // r10 regression pin: the old star-contraction checksum summed raw
+    // u/v (and raw per-row products) — THREE edges with ids near 2^62
+    // overflow a long sum and, under ANSI, kill the job; the 50M-edge
+    // CcProbe hit the same wall via row count alone. Min-label's old
+    // long label-sum overflowed identically. Both must now converge and
+    // agree on the exact min label.
+    val big = Long.MaxValue / 2
+    val edges = Seq((big, big - 1), (big - 1, big - 2), (big - 2, big - 3))
+      .toDF("src", "dst")
+    val star = ConnectedComponents.starContraction(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    val ml = ConnectedComponents.minLabelPropagation(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    val exp = (big - 3 to big).map(_ -> (big - 3)).toMap
+    assert(star == exp, s"star contraction wrong on huge ids: $star")
+    assert(ml == exp, s"min-label wrong on huge ids: $ml")
+  }
 }
