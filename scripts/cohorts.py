@@ -24,9 +24,23 @@ N_HEAVY = 3
 
 names = [l.strip() for l in open(sys.argv[1]) if l.strip()]
 prev = {}
+firsts = set()
 if len(sys.argv) > 2 and sys.argv[2]:
     try:
-        prev = json.load(open(sys.argv[2])).get("queries", {})
+        doc = json.load(open(sys.argv[2]))
+        prev = doc.get("queries", {})
+        # A cohort-first reading from an UNWARMED prior gate absorbed that
+        # JVM's cold start (r10: 83.9s vs 30.1s warm) — classifying on it
+        # makes a genuinely fast query bounce to a heavy cohort and the
+        # composition oscillate round over round (ADVICE r10). Drop those
+        # readings (treat the query as unmeasured) unless the prior gate
+        # ran with the per-cohort prewarm, whose firsts are trustworthy.
+        if "prewarm" not in doc.get("cohort_note", ""):
+            firsts = set(doc.get("cohort_firsts", {}).values())
+            if not firsts:  # pre-r11 artifacts: derive from the cohort lists
+                firsts = {sorted(qs)[0] for qs in doc.get("cohorts", {}).values() if qs}
+            for n in firsts:
+                prev.pop(n, None)
     except Exception as e:
         print(f"[cohorts] prior artifact unreadable ({e}); all queries heavy",
               file=sys.stderr)

@@ -23,12 +23,12 @@ for f in sorted(sys.argv[4:]):
     failed += d.get("failed", [])
     cohorts[f] = sorted(qs)
 
-# Bench runs each cohort's queries in sorted order with WARMUP=0, so the
-# alphabetically-first query of every cohort absorbs that JVM's cold start
-# (session spin-up, codegen, sf-dir parquet footers, shared signature
-# frames) — its reading is an upper bound. Name them so a reader never
-# mistakes the absorption for a regression (r10: a2_duplicate_ids read
-# 83.9s as c3's first query vs 30.1s mid-suite in r9).
+# Each cohort JVM is PREWARMED before its first query (footer reads +
+# one codegen-heavy noop — Bench's SPARK_GRAFT_BENCH_PREWARM), so
+# alphabetically-first readings are measurements, not cold-start upper
+# bounds (r10's unwarmed gate had a2 read 83.9s as a first vs 30.1s
+# mid-suite). Firsts are still named for audit: cohorts.py trusts prior
+# readings only when the note below says the gate was prewarmed.
 firsts = {f: qs[0] for f, qs in cohorts.items() if qs}
 
 missing = names - set(merged)
@@ -42,11 +42,12 @@ doc = {
     "queries": merged, "sf": "scale/sf100", "generation": gen,
     "cohorts": cohorts,
     "cohort_firsts": firsts,
-    "cohort_note": ("fresh JVM per cohort, single-pass cold; fast cohort "
-                    "(prior <5s) first so sub-second queries time against "
-                    "an unpolluted block manager; each cohort's "
-                    "alphabetically-first query (cohort_firsts) absorbs "
-                    "that JVM's cold start — treat it as an upper bound"),
+    "cohort_note": ("fresh JVM per cohort, single-pass cold, prewarmed "
+                    "(parquet footers + codegen noop) before the first "
+                    "query; fast cohort (prior <5s) first so sub-second "
+                    "queries time against an unpolluted block manager; "
+                    "cohort_firsts listed for audit — with the prewarm "
+                    "they are measurements, not cold-start upper bounds"),
 }
 bad = sorted(set(failed) | {k for k, v in merged.items() if v < 0})
 if bad:

@@ -97,10 +97,16 @@ if [ "${SKIP_SF100:-0}" != "1" ]; then
     i=$((i+1))
     cout="bench/sf100_cold_${TAG}_c${i}.json"
     echo "[scale_gate] cohort $i ($(echo "$line" | wc -w) queries) -> $cout"
+    # --exact: cohort lines carry FULL names; prefix matching would run a
+    # longer-named query in a shorter name's cohort the day one registry
+    # name becomes a prefix of another (ADVICE r10). PREWARM: footers +
+    # codegen noop before the first query, so cohort-first readings are
+    # measurements, not cold-start upper bounds (VERDICT r10 #2).
     SPARK_GRAFT_SF_DIR="$PWD/scale/sf100" SPARK_GRAFT_BENCH_OUT="$cout" \
     SPARK_GRAFT_BENCH_REPS=1 SPARK_GRAFT_BENCH_WARMUP=0 SPARK_GRAFT_BENCH_DUAL=0 \
+    SPARK_GRAFT_BENCH_PREWARM=1 \
     SPARK_DRIVER_MEM=64g SPARK_GRAFT_SHUFFLE_PARTITIONS=128 \
-      sbt -batch "runMain graft.Bench $line" </dev/null 2>/dev/null \
+      sbt -batch "runMain graft.Bench --exact $line" </dev/null 2>/dev/null \
       | grep '"metric"' >> "bench/sf100_cold_${TAG}_stdout.json" || true
     if [ ! -f "$cout" ]; then
       echo "[scale_gate] ERROR: cohort $i wrote no sidecar (bench JVM died?)" >&2
@@ -111,25 +117,21 @@ if [ "${SKIP_SF100:-0}" != "1" ]; then
     "bench/sf100_cold_${TAG}_c"*.json
 fi
 
-# --- 3. sf1 oracle replay (60 non-pair queries) ---------------------------
+# --- 3. sf1 oracle replay (FULL registry) ----------------------------------
+# r11: the nine former pair-family exclusions (d2 d4 d5 d6 d7 d8 d12 sim6
+# ds3) are gone — their oracles are now COLLAPSED like the engine's plans
+# (group identical shingle-sets / texts / quantized vectors, band DISTINCT
+# signatures only, expand qualifying group pairs), so the DuckDB side is
+# linear in the duplication factor instead of hours-quadratic. The replay
+# covers 100/100.
 if [ "${SKIP_ORACLE:-0}" != "1" ]; then
   vout="/tmp/graft_scale_gate_sf1"
-  log="bench/oracle_sf1_60_${TAG}.log"
+  log="bench/oracle_sf1_${TAG}.log"
   echo "[scale_gate] sf1 verify + oracle replay -> $log"
   rm -rf "$vout"
   sbt -batch "runMain graft.Verify $PWD/scale/sf1 $vout" 2>/dev/null | grep -E '\[verify\].*failed' || true
-  # sim6 joins the pair-family exclusions: its DuckDB oracle enumerates
-  # all band-sharing candidate pairs before ranking — quadratic in the
-  # duplication factor at sf>=1, the oracle's cost, not the engine's
-  # (DedupCollapseSpec asserts sim6 == the direct per-vector plan).
-  # d12 shares d6's banding CTE (16 md5-derived hyperplanes x 64 dims per
-  # vector in SQL) plus a recursive-CTE closure — same oracle-side cost,
-  # covered by the sf0.01/sf0.1 gate + DedupCollapseSpec's d12 test.
   echo "generation $GEN" > "$log"
-  # ds3 rides d2's pair oracle (same banding CTEs) — same quadratic
-  # oracle cost at sf>=1, same exclusion, same engine-side coverage
-  python3 -u scripts/check_oracle.py "$vout" "$PWD/scale/sf1" \
-    '!d2' '!d4' '!d5' '!d6' '!d7' '!d8' '!d12' '!sim6' '!ds3' | tee -a "$log"
+  python3 -u scripts/check_oracle.py "$vout" "$PWD/scale/sf1" | tee -a "$log"
 fi
 
 echo "[scale_gate] done (tag $TAG, generation $GEN)"

@@ -50,16 +50,32 @@ object ConnectedComponents {
   private[graft] def claimed: Boolean =
     sys.env.get("SPARK_GRAFT_CC_CLAIMED").contains("1")
 
-  /** Pinned shuffled-hash joins are UNCONDITIONAL — independently of the
-    * layout claim, they are the big win: un-hinted, every round's
-    * edge⋈mins join is sort-merge and SORTS the |2·edges| frame (and the
-    * mins side) per round; the hint eliminates every per-round sort
-    * exactly as it did for g1's iteration joins. Probe, 49.5M-edge star
-    * contraction: 651.8 s un-hinted → 362.3 s hinted (1.80×). The hash
-    * build side is the per-u mins frame — bounded by |nodes|/parts
-    * entries per task.
+  /** Pinned shuffled-hash joins, SIZE-GATED — independently of the layout
+    * claim, they are the big win: un-hinted, every round's edge⋈mins join
+    * is sort-merge and SORTS the |2·edges| frame (and the mins side) per
+    * round; the hint eliminates every per-round sort exactly as it did
+    * for g1's iteration joins. Probe, 49.5M-edge star contraction:
+    * 651.8 s un-hinted → 362.3 s hinted (1.80×).
+    *
+    * The gate (ADVICE r10): Spark's shuffled-hash build side cannot
+    * spill, so at billions of nodes with a modest partition count the
+    * per-task mins/labels build map would OOM where sort-merge spills.
+    * The build side here is always the |nodes|-bounded min/label frame,
+    * and the caller knows the current edge count (checksum/label-sum
+    * aggregates carry it for free), so the hint applies only while
+    * estBuildRows/partition stays under [[MaxHashBuildRowsPerTask]] —
+    * past that, the plain sort-merge plan (spillable, the pre-r10 shape)
+    * is the safe one. 4M entries ≈ ~200 MB of hash relation per task;
+    * rounds shrink geometrically, so a huge graph re-enters the hinted
+    * regime after its first few contractions.
     */
-  private def hinted(df: DataFrame): DataFrame = df.hint("shuffle_hash")
+  private val MaxHashBuildRowsPerTask = 4L << 20
+  private def hinted(df: DataFrame, estBuildRows: Long): DataFrame = {
+    val parts = math.max(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, 1)
+    if (estBuildRows / parts <= MaxHashBuildRowsPerTask) df.hint("shuffle_hash")
+    else df
+  }
 
   /** Checkpoint `df` deduplicated by (u, v) with a claimed hash(`keyCol`)
     * layout — the dedup rides the repartition (keyCol ⊆ dedup cols), so
@@ -197,18 +213,21 @@ object ConnectedComponents {
     var converged = prevSum._1 == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
+      // build-side row bound for this round's hash joins: mins/mins2 have
+      // one row per distinct node, and |nodes| <= 2*|edges|
+      val estBuild = 2L * prevSum._1
       // large-star over both directions: m(u) = min(u, min neighbor)
       val bidir = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val mins = bidir.groupBy(col("u"))
         .agg(least(col("u"), min(col("v"))).as("m"))
       val large = dedupCkpt(
-        bidir.join(hinted(mins), "u")
+        bidir.join(hinted(mins, estBuild), "u")
           .filter(col("v") > col("u"))
           .select(col("v").as("u"), col("m").as("v")),
         "u") // two consumers below (groupBy + join)
       // small-star on canonical edges: m(u) = min smaller-neighbor
       val mins2 = large.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val next = large.join(hinted(mins2), "u")
+      val next = large.join(hinted(mins2, estBuild), "u")
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(mins2.select(col("u"), col("m").as("v")))
@@ -282,21 +301,26 @@ object ConnectedComponents {
     // decimal(38,0) sum: the invariant must stay EXACT (a modular sum
     // could collide and exit with wrong labels; a long sum ANSI-overflows
     // once |nodes| × max-id passes 2^63 — billions of nodes with wide ids)
-    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
-        lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)
-    var prevSum = labelSum(labels)
+    // the count rides the same aggregate for free — it is the hint gate's
+    // build-side row bound (labels has exactly one row per node)
+    def labelSum(df: org.apache.spark.sql.DataFrame): (java.math.BigDecimal, Long) = {
+      val r = df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO)), count(lit(1))).head
+      (r.getDecimal(0), r.getLong(1))
+    }
+    var (prevSum, nNodes) = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val prop = bidir
-        .join(hinted(labels.withColumnRenamed("id", "src")), "src")
+        .join(hinted(labels.withColumnRenamed("id", "src"), nNodes), "src")
         .select(col("dst").as("id"), col("label"))
       val next = ckptLabels(labels.union(prop)
         .groupBy(col("id")).agg(min(col("label")).as("label")))
-      val s = labelSum(next)
+      val (s, n2) = labelSum(next)
       converged = s.compareTo(prevSum) == 0 // value equality, scale-blind
       prevSum = s
+      nNodes = n2
       labels = next
       iter += 1
     }

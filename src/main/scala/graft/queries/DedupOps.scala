@@ -143,6 +143,52 @@ object DedupOps {
                FROM documents)
          WHERE len(hs) >= 3)"""
 
+  /** Oracle CTEs for the MinHash family (d2/ds3), COLLAPSED like the
+    * engine (r11, VERDICT r10 #3): the per-doc banding of the old oracle
+    * paid k² candidate rows per distinct pair at duplication factor k
+    * (hours-quadratic at sf1 — the oracle's cost, not the engine's).
+    * Identical shingle sets group once, MinHash signatures + banding run
+    * over DISTINCT sets, and qualifying group pairs expand to the exact
+    * member pairs the expanded form emits (`dpairs`), with the jaccard
+    * computed by the same expression. Prototype-checked old == new on a
+    * dup-heavy corpus before landing.
+    */
+  private val ShGroupCtes =
+    s"""grp AS (SELECT sh AS gs, list_sort(list(doc_id)) AS members
+             FROM sh GROUP BY sh),
+       sig AS (SELECT members[1] AS rep, gs, members,
+         [ list_min([ ((${graft.functions.DedupFunctions.minhashA(12).mkString("[", ",", "]")})[i+1]
+                       * (g % 1000000007)
+                       + (${graft.functions.DedupFunctions.minhashB(12).mkString("[", ",", "]")})[i+1])
+                      % 1000000007 for g in gs ]) for i in range(0,12) ] AS sig
+         FROM grp),
+       bands AS (SELECT rep, unnest([ b || '#' || array_to_string(sig[b*3+1:b*3+3], ',')
+                                      for b in range(0,4) ]) AS band_key FROM sig),
+       fpp AS (SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b
+               FROM bands a JOIN bands b USING (band_key) WHERE a.rep < b.rep),
+       ver AS (SELECT ga.members AS ms_a, gb.members AS ms_b,
+                 len(list_intersect(ga.gs, gb.gs))::DOUBLE /
+                 (len(ga.gs) + len(gb.gs) - len(list_intersect(ga.gs, gb.gs)))::DOUBLE AS jaccard
+               FROM fpp JOIN sig ga ON ga.rep = fpp.rep_a
+                        JOIN sig gb ON gb.rep = fpp.rep_b
+               WHERE len(list_intersect(ga.gs, gb.gs))::DOUBLE /
+                 (len(ga.gs) + len(gb.gs) - len(list_intersect(ga.gs, gb.gs)))::DOUBLE >= 0.5),
+       dpairs AS (
+         SELECT least(da, db) AS doc_a, greatest(da, db) AS doc_b, jaccard FROM (
+           SELECT da, unnest(ms_b) AS db, jaccard FROM (
+             SELECT unnest(ms_a) AS da, ms_b, jaccard FROM ver))
+         UNION ALL
+         SELECT p1 AS doc_a, p2 AS doc_b,
+           len(list_intersect(gs, gs))::DOUBLE /
+           (len(gs) + len(gs) - len(list_intersect(gs, gs)))::DOUBLE AS jaccard
+         FROM (
+           SELECT gs, p1, unnest(members) AS p2 FROM (
+             SELECT gs, unnest(members) AS p1, members FROM grp
+             WHERE len(members) >= 2))
+         WHERE p1 < p2
+           AND len(list_intersect(gs, gs))::DOUBLE /
+               (len(gs) + len(gs) - len(list_intersect(gs, gs)))::DOUBLE >= 0.5)"""
+
   /** Identical-fingerprint COLLAPSE — the key scale move for dup-heavy
     * corpora (real web crawls are 30–60% exact duplicates): docs sharing a
     * SimHash fingerprint form one group `(simhash, rep = min doc_id,
@@ -235,23 +281,65 @@ object DedupOps {
       crossEdges.unionByName(starEdges), "doc_a", "doc_b")
   }
 
-  /** Oracle CTEs for the SimHash signature + chunk banding (shared by the
-    * d4 and d7 oracles).
+  /** Oracle CTEs for the SimHash family (d4/d7/d8), COLLAPSED like the
+    * engine (r11, VERDICT r10 #3): the old per-doc form banded and paired
+    * every doc, so at sf>=1 (ScaleUp: k identical text copies per doc)
+    * the chunk self-join emitted k² candidate rows per distinct pair and
+    * the replay was hours-quadratic — the ORACLE's cost, not the
+    * engine's. Identical text ⇒ identical simhash, so the oracle groups
+    * by TEXT first (simhash is a pure function of it), merges text
+    * groups sharing a simhash, and bands DISTINCT fingerprints only;
+    * qualifying fingerprint pairs expand to member pairs exactly as the
+    * engine's simhashPairs does. Equality to the expanded form is the
+    * same argument DedupCollapseSpec pins for the engine — and the
+    * prototype replay checked old == new on a dup-heavy corpus before
+    * this landed.
     */
   private val SimhashCtes =
-    """sim AS (
-         SELECT doc_id,
+    """tg AS (SELECT list_sort(list(doc_id)) AS ms,
+           list_transform(
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''),
+             t -> ('0x'||substr(md5(t),1,15))::BIGINT) AS hs
+         FROM documents GROUP BY text),
+       simg AS (SELECT ms,
          list_sum([ CASE WHEN
              list_sum([ CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END for h in hs ]) > 0
            THEN (1::BIGINT << b) ELSE 0 END for b in range(0, 60) ])::BIGINT AS simhash
-         FROM (SELECT doc_id,
-                 list_transform(
-                   list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''),
-                   t -> ('0x'||substr(md5(t),1,15))::BIGINT) AS hs
-               FROM documents)),
-       chunks AS (SELECT doc_id, simhash,
+         FROM tg),
+       grp AS (SELECT simhash, list_sort(flatten(list(ms))) AS members
+               FROM simg GROUP BY simhash),
+       chunks AS (SELECT simhash,
          unnest([ c || '#' || ((simhash >> (c*15)) & 32767) for c in range(0,4) ]) AS chunk_key
-         FROM sim)"""
+         FROM grp),
+       fpp AS (SELECT DISTINCT a.simhash AS fa, b.simhash AS fb,
+                 bit_count(xor(a.simhash, b.simhash)) AS hamming
+               FROM chunks a JOIN chunks b USING (chunk_key)
+               WHERE a.simhash < b.simhash
+                 AND bit_count(xor(a.simhash, b.simhash)) <= 3)"""
+
+  /** Collapsed-graph CC CTEs for the d7/d8 oracles: rep↔rep edges per
+    * qualifying fingerprint pair + rep→member star edges per size>=2
+    * group — the recursive closure then runs on a graph LINEAR in the
+    * duplication factor (the expanded pair graph the old oracle closed
+    * over is quadratic in it).
+    */
+  private val SimhashClusterCtes =
+    s"""$SimhashCtes,
+       edges0 AS (
+         SELECT ga.members[1] AS s, gb.members[1] AS d
+         FROM fpp JOIN grp ga ON ga.simhash = fpp.fa
+                  JOIN grp gb ON gb.simhash = fpp.fb
+         UNION ALL
+         SELECT members[1] AS s, m AS d
+         FROM (SELECT members, unnest(members) AS m FROM grp WHERE len(members) >= 2)
+         WHERE m <> members[1]),
+       edges AS (SELECT s, d FROM edges0 UNION SELECT d, s FROM edges0),
+       nodes AS (SELECT DISTINCT s AS id FROM edges),
+       reach(id, r) AS (
+         SELECT id, id FROM nodes
+         UNION
+         SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+       clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)"""
 
   /** Distinct-quantized-vector groups (rep = min vec_id, sorted member
     * roster, precomputed norm) — the embedding family's collapse frame,
@@ -310,28 +398,28 @@ object DedupOps {
     cross.unionByName(intra)
   }
 
-  /** Oracle CTEs for the quantized-embedding hyperplane banding (shared
-    * by the d6 and d12 oracles).
+  /** Oracle CTEs for the embedding family (d6/d12, and sim6's copy in
+    * SimilarityOps), COLLAPSED like the engine (r11): identical quantized
+    * vectors group once, the expensive hyperplane banding (1024
+    * md5-derived plane components per vector in SQL) runs per DISTINCT
+    * vector, and qualifying rep pairs expand to member pairs — the
+    * replay cost is linear in the duplication factor instead of
+    * quadratic.
     */
-  private val EmbedCtes =
+  private[queries] val EmbedCtes =
     """e AS (SELECT vec_id,
-                list_transform(embedding, x -> round(x::DOUBLE*1000)::BIGINT) AS q,
-                sqrt(list_dot_product(list_transform(embedding, x -> round(x::DOUBLE*1000)::BIGINT),
-                                      list_transform(embedding, x -> round(x::DOUBLE*1000)::BIGINT))) AS nrm
+                list_transform(embedding, x -> round(x::DOUBLE*1000)::BIGINT) AS q
                 FROM embeddings),
-              bands AS (SELECT vec_id, q, nrm,
-                unnest([ b || '#' ||
-                  list_sum([ CASE WHEN list_dot_product(q,
-                      [ (('0x'||substr(md5((b*4+j)||'|'||d),1,15))::BIGINT % 2001) - 1000
-                        for d in range(0,64) ]) > 0
-                    THEN (1::BIGINT << j) ELSE 0 END for j in range(0,4) ])::BIGINT
-                  for b in range(0,4) ]) AS band_key FROM e)"""
-
-  private val SimhashPairSelect =
-    """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         bit_count(xor(a.simhash, b.simhash)) AS hamming
-       FROM chunks a JOIN chunks b USING (chunk_key)
-       WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3"""
+       grp0 AS (SELECT q, list_sort(list(vec_id)) AS members FROM e GROUP BY q),
+       grpr AS (SELECT members[1] AS rep, q, members,
+                  sqrt(list_dot_product(q, q)) AS nrm FROM grp0),
+       bands AS (SELECT rep,
+         unnest([ b || '#' ||
+           list_sum([ CASE WHEN list_dot_product(q,
+               [ (('0x'||substr(md5((b*4+j)||'|'||d),1,15))::BIGINT % 2001) - 1000
+                 for d in range(0,64) ]) > 0
+             THEN (1::BIGINT << j) ELSE 0 END for j in range(0,4) ])::BIGINT
+           for b in range(0,4) ]) AS band_key FROM grpr)"""
 
   /** Exact Jaccard between two hashed-shingle-set columns (integer sizes →
     * one deterministic IEEE division; identical in every engine). The
@@ -467,22 +555,8 @@ object DedupOps {
         // shared helper
         minhashVerifiedPairs(s, dir),
       Some(s"""WITH $ShingleCte,
-              sig AS (SELECT doc_id, sh,
-                [ list_min([ ((${graft.functions.DedupFunctions.minhashA(12).mkString("[", ",", "]")})[i+1]
-                              * (g % 1000000007)
-                              + (${graft.functions.DedupFunctions.minhashB(12).mkString("[", ",", "]")})[i+1])
-                             % 1000000007 for g in sh ])
-                  for i in range(0,12) ] AS sig FROM sh),
-              bands AS (SELECT doc_id, sh,
-                unnest([ b || '#' || array_to_string(sig[b*3+1:b*3+3], ',')
-                         for b in range(0,4) ]) AS band_key FROM sig)
-              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                len(list_intersect(a.sh, b.sh))::DOUBLE /
-                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE AS jaccard
-              FROM bands a JOIN bands b USING (band_key)
-              WHERE a.doc_id < b.doc_id
-              AND len(list_intersect(a.sh, b.sh))::DOUBLE /
-                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE >= 0.5"""),
+              $ShGroupCtes
+              SELECT doc_a, doc_b, jaccard FROM dpairs"""),
       doc = "Dedup: MinHash signatures + LSH banding + exact-Jaccard verify"),
 
     Q(
@@ -575,20 +649,7 @@ object DedupOps {
         }
       },
       Some(s"""WITH $ShingleCte,
-              sig AS (SELECT doc_id, sh,
-                [ list_min([ ((${graft.functions.DedupFunctions.minhashA(12).mkString("[", ",", "]")})[i+1]
-                              * (g % 1000000007)
-                              + (${graft.functions.DedupFunctions.minhashB(12).mkString("[", ",", "]")})[i+1])
-                             % 1000000007 for g in sh ])
-                  for i in range(0,12) ] AS sig FROM sh),
-              bands AS (SELECT doc_id, sh,
-                unnest([ b || '#' || array_to_string(sig[b*3+1:b*3+3], ',')
-                         for b in range(0,4) ]) AS band_key FROM sig),
-              pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                FROM bands a JOIN bands b USING (band_key)
-                WHERE a.doc_id < b.doc_id
-                AND len(list_intersect(a.sh, b.sh))::DOUBLE /
-                    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE >= 0.5),
+              $ShGroupCtes,
               ds AS (SELECT doc_id,
                 CASE WHEN b < 96 THEN 'train' WHEN b < 98 THEN 'val' ELSE 'test' END AS split
                 FROM (SELECT doc_id,
@@ -600,8 +661,8 @@ object DedupOps {
               SELECT least(a.split, b.split) AS split_lo,
                      greatest(a.split, b.split) AS split_hi,
                      count(*)::BIGINT AS n_pairs
-              FROM pairs p JOIN ds a ON p.doc_a = a.doc_id
-                           JOIN ds b ON p.doc_b = b.doc_id
+              FROM dpairs p JOIN ds a ON p.doc_a = a.doc_id
+                            JOIN ds b ON p.doc_b = b.doc_id
               GROUP BY 1, 2"""),
       doc = "Split audit: near-dup pairs straddling the train/val/test boundary"),
 
@@ -631,7 +692,19 @@ object DedupOps {
       "d4_simhash_pairs",
       (s, dir) => simhashPairs(s, dir),
       Some(s"""WITH $SimhashCtes
-              $SimhashPairSelect"""),
+              SELECT least(da, db) AS doc_a, greatest(da, db) AS doc_b, hamming FROM (
+                SELECT da, unnest(ms_b) AS db, hamming FROM (
+                  SELECT unnest(ga.members) AS da, gb.members AS ms_b, hamming
+                  FROM fpp JOIN grp ga ON ga.simhash = fpp.fa
+                           JOIN grp gb ON gb.simhash = fpp.fb))
+              UNION ALL
+              SELECT p1 AS doc_a, p2 AS doc_b,
+                bit_count(xor(simhash, simhash)) AS hamming
+              FROM (
+                SELECT simhash, p1, unnest(members) AS p2 FROM (
+                  SELECT simhash, unnest(members) AS p1, members FROM grp
+                  WHERE len(members) >= 2))
+              WHERE p1 < p2"""),
       doc = "Dedup: SimHash hamming<=3 pairs via lossless 15-bit chunk banding"),
 
     Q(
@@ -647,20 +720,8 @@ object DedupOps {
         simhashClusters(s, dir)
           .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       },
-      Some(s"""WITH RECURSIVE $SimhashCtes,
-              pairs AS (
-                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                FROM chunks a JOIN chunks b USING (chunk_key)
-                WHERE a.doc_id < b.doc_id
-                AND bit_count(xor(a.simhash, b.simhash)) <= 3),
-              edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-                        UNION SELECT doc_b, doc_a FROM pairs),
-              nodes AS (SELECT DISTINCT s AS id FROM edges),
-              reach(id, r) AS (
-                SELECT id, id FROM nodes
-                UNION
-                SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id)
-              SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id"""),
+      Some(s"""WITH RECURSIVE $SimhashClusterCtes
+              SELECT id AS doc_id, cluster_id FROM clusters"""),
       doc = "Dedup: connected-component duplicate clusters from near-dup pairs"),
 
     Q(
@@ -682,20 +743,7 @@ object DedupOps {
           .select(col("n_docs"), (col("n_docs") - col("n_survivors")).as("n_dropped"),
             col("n_survivors"))
       },
-      Some(s"""WITH RECURSIVE $SimhashCtes,
-              pairs AS (
-                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                FROM chunks a JOIN chunks b USING (chunk_key)
-                WHERE a.doc_id < b.doc_id
-                AND bit_count(xor(a.simhash, b.simhash)) <= 3),
-              edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-                        UNION SELECT doc_b, doc_a FROM pairs),
-              nodes AS (SELECT DISTINCT s AS id FROM edges),
-              reach(id, r) AS (
-                SELECT id, id FROM nodes
-                UNION
-                SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
-              clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+      Some(s"""WITH RECURSIVE $SimhashClusterCtes,
               dropped AS (SELECT count(*) AS n FROM clusters WHERE id <> cluster_id)
               SELECT (SELECT count(*) FROM documents) AS n_docs,
                      (SELECT n FROM dropped) AS n_dropped,
@@ -734,16 +782,18 @@ object DedupOps {
           .filter(col("jaccard") >= 0.6)
       },
       Some(s"""WITH $ShingleCte,
-              inv AS (SELECT doc_id, sh, unnest(sh) AS g FROM sh),
+              inv AS (SELECT doc_id, unnest(sh) AS g FROM sh),
               rare AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= 5),
-              cand AS (SELECT inv.* FROM inv JOIN rare USING (g))
-              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                len(list_intersect(a.sh, b.sh))::DOUBLE /
-                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE AS jaccard
-              FROM cand a JOIN cand b USING (g)
-              WHERE a.doc_id < b.doc_id
-              AND len(list_intersect(a.sh, b.sh))::DOUBLE /
-                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE >= 0.6"""),
+              cd AS (SELECT doc_id, g FROM inv JOIN rare USING (g)),
+              p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                    FROM cd a JOIN cd b USING (g) WHERE a.doc_id < b.doc_id)
+              SELECT doc_a, doc_b, jaccard FROM (
+                SELECT doc_a, doc_b,
+                  len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                  (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE AS jaccard
+                FROM p JOIN sh sa ON sa.doc_id = p.doc_a
+                       JOIN sh sb ON sb.doc_id = p.doc_b)
+              WHERE jaccard >= 0.6"""),
       doc = "Dedup: inverted-index n-gram Jaccard with rare-shingle candidates"),
 
     Q(
@@ -855,12 +905,26 @@ object DedupOps {
         // through the family signature cache.
         embedPairs(s, dir)
       },
-      Some(s"""WITH $EmbedCtes
-              SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                list_dot_product(a.q, b.q) / (a.nrm * b.nrm) AS cosine
-              FROM bands a JOIN bands b USING (band_key)
-              WHERE a.vec_id < b.vec_id
-              AND list_dot_product(a.q, b.q) / (a.nrm * b.nrm) >= 0.4"""),
+      Some(s"""WITH $EmbedCtes,
+              fpp AS (SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b
+                      FROM bands a JOIN bands b USING (band_key) WHERE a.rep < b.rep),
+              ver AS (SELECT ga.members AS ms_a, gb.members AS ms_b,
+                        list_dot_product(ga.q, gb.q) / (ga.nrm * gb.nrm) AS cosine
+                      FROM fpp JOIN grpr ga ON ga.rep = fpp.rep_a
+                               JOIN grpr gb ON gb.rep = fpp.rep_b
+                      WHERE list_dot_product(ga.q, gb.q) / (ga.nrm * gb.nrm) >= 0.4)
+              SELECT least(va, vb) AS vec_a, greatest(va, vb) AS vec_b, cosine FROM (
+                SELECT va, unnest(ms_b) AS vb, cosine FROM (
+                  SELECT unnest(ms_a) AS va, ms_b, cosine FROM ver))
+              UNION ALL
+              SELECT p1 AS vec_a, p2 AS vec_b,
+                list_dot_product(q, q) / (nrm * nrm) AS cosine
+              FROM (
+                SELECT q, nrm, p1, unnest(members) AS p2 FROM (
+                  SELECT q, nrm, unnest(members) AS p1, members FROM grpr
+                  WHERE len(members) >= 2))
+              WHERE p1 < p2
+                AND list_dot_product(q, q) / (nrm * nrm) >= 0.4"""),
       doc = "Dedup: embedding-cosine near-dup via banded hyperplane LSH"),
 
     Q(
@@ -917,13 +981,20 @@ object DedupOps {
             col("member_ids"))
       },
       Some(s"""WITH RECURSIVE $EmbedCtes,
-              pairs AS (
-                SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-                FROM bands a JOIN bands b USING (band_key)
-                WHERE a.vec_id < b.vec_id
-                AND list_dot_product(a.q, b.q) / (a.nrm * b.nrm) >= 0.4),
-              edges AS (SELECT vec_a AS s, vec_b AS d FROM pairs
-                        UNION SELECT vec_b, vec_a FROM pairs),
+              fpp AS (SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b
+                      FROM bands a JOIN bands b USING (band_key) WHERE a.rep < b.rep),
+              edges0 AS (
+                SELECT rep_a AS s, rep_b AS d
+                FROM fpp JOIN grpr ga ON ga.rep = fpp.rep_a
+                         JOIN grpr gb ON gb.rep = fpp.rep_b
+                WHERE list_dot_product(ga.q, gb.q) / (ga.nrm * gb.nrm) >= 0.4
+                UNION ALL
+                SELECT rep AS s, m AS d
+                FROM (SELECT rep, unnest(members) AS m, q, nrm FROM grpr
+                      WHERE len(members) >= 2)
+                WHERE m <> rep
+                  AND list_dot_product(q, q) / (nrm * nrm) >= 0.4),
+              edges AS (SELECT s, d FROM edges0 UNION SELECT d, s FROM edges0),
               nodes AS (SELECT DISTINCT s AS id FROM edges),
               reach(id, r) AS (
                 SELECT id, id FROM nodes

@@ -110,18 +110,43 @@ object GraphOps {
       diskBound: Boolean = false,
       reapKeep: Set[Int] = Set.empty,
       dedupEdges: Boolean = false): DataFrame = {
+    // Reaper safety contract: the snapshot-then-reap is check-then-act —
+    // a shuffle registered by a CONCURRENT operator after the caller took
+    // `reapKeep` would not be in the keep set and would be reaped. That
+    // single-concurrent-operator assumption is now ENFORCED, not
+    // documented (VERDICT r10 #4): the diskBound run holds the reaper's
+    // JVM-wide owner slot for its whole snapshot→reap scope, so a second
+    // disk-bounded operator fails loudly at acquire instead of silently
+    // losing shuffles. The eager per-iteration checkpoints mean all
+    // reaping happens INSIDE this call — the returned frame is
+    // checkpoint-backed and needs no reaper after release.
+    if (diskBound) org.apache.spark.GraftShuffleReaper.acquire("g1-pagerank")
+    try pagerankImpl(edges, iters, diskBound, reapKeep, dedupEdges)
+    finally if (diskBound) org.apache.spark.GraftShuffleReaper.release("g1-pagerank")
+  }
+
+  private def pagerankImpl(edges: DataFrame, iters: Int,
+      diskBound: Boolean,
+      reapKeep: Set[Int],
+      dedupEdges: Boolean): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val session = edges.sparkSession
-    // Reaper safety contract (see GraftShuffleReaper's scaladoc): the
-    // snapshot-then-reap is check-then-act — a shuffle registered by a
-    // CONCURRENT operator after the caller took `reapKeep` would not be in
-    // the keep set and would be reaped. Safe here because diskBound only
-    // fires in the single-query-at-a-time decade harness (Bench/scale_gate
-    // run queries serially); a future concurrent-query session must either
-    // disable diskBound or take the snapshot under a shared lock.
     def reclaim(): Unit = if (diskBound)
       org.apache.spark.GraftShuffleReaper.dropCreatedSince(session.sparkContext, reapKeep)
-    val level = if (diskBound) StorageLevel.DISK_ONLY else StorageLevel.MEMORY_AND_DISK
+    // r11 A/B knob (VERDICT r10 #7): the int32 probe showed g1's remaining
+    // cost is compressed-entropy-bound block IO, so the lever worth
+    // measuring is WHERE the compressed bytes live, not how wide the rows
+    // are. MEMORY_AND_DISK_SER stores the SAME serialized+lz4 bytes
+    // (spark.rdd.compress applies to serialized memory blocks too) in the
+    // unified pool with disk overflow — if the adjacency fits, every
+    // iteration rescans from RAM instead of disk. Env-gated for the
+    // back-to-back probe; the default stays measurement-driven (SCALE.md
+    // r11 table).
+    val level =
+      if (!diskBound) StorageLevel.MEMORY_AND_DISK
+      else if (sys.env.get("SPARK_GRAFT_G1_LEVEL").contains("mem_ser"))
+        StorageLevel.MEMORY_AND_DISK_SER
+      else StorageLevel.DISK_ONLY
     val parts = session.conf.get("spark.sql.shuffle.partitions").toInt
     // SPARK_GRAFT_G1_PHASES=1: stderr wall-clock per phase (adjacency /
     // base / count / each iteration) — the only way to attribute a

@@ -421,9 +421,15 @@ object JoinAggOps {
       doc = "Range join: bounded-interval aggregate via time-bin bucketed hash join"),
 
     Q(
-      "j10_salted_join",
+      // renamed from j10_salted_join in r11 (ADVICE r10): since the r10
+      // A/B flipped the default to the plain AQE join, the old name
+      // described the non-default variant — and r10's gate numbers
+      // silently measured a different algorithm than r9's under the same
+      // key. Round-over-round artifact readers: j10_salted_join (≤ r10,
+      // salted through r9, AQE in r10) ≡ j10_skew_join (r11+, AQE).
+      "j10_skew_join",
       (s, dir) => {
-        // SALTED SKEW JOIN (functions/SkewFunctions.saltedJoin): enrich a
+        // SKEW-AWARE JOIN (A/B'd r10): enrich a
         // fact stream whose key is hot (150 users across the whole events
         // log — every key is a straggler candidate) against a dimension,
         // under the no-broadcast regime of a dimension too large to ship.
@@ -463,7 +469,7 @@ object JoinAggOps {
                      sum(value::DECIMAL(18,2))::DOUBLE AS value_sum
               FROM events JOIN customer ON user_id = c_custkey
               GROUP BY c_mktsegment, event_type"""),
-      doc = "Skew: salted shuffle-hash join, oracle-equal to the plain join"),
+      doc = "Skew: AQE join in the no-broadcast regime (salted variant A/B'd, kept via env)"),
 
     Q(
       "a14_mergeable_sketches",

@@ -418,22 +418,34 @@ object SimilarityOps {
           .select(col("vec_id"), col("cand_id").as("neighbor_id"),
             col("cosine"), col("rank"))
       },
-      Some("""WITH e AS (SELECT vec_id,
-                list_transform(embedding, x -> round(x::DOUBLE*1000)::BIGINT) AS q,
-                sqrt(list_dot_product(list_transform(embedding, x -> round(x::DOUBLE*1000)::BIGINT),
-                                      list_transform(embedding, x -> round(x::DOUBLE*1000)::BIGINT))) AS nrm
-                FROM embeddings),
-              bands AS (SELECT vec_id, q, nrm,
-                unnest([ b || '#' ||
-                  list_sum([ CASE WHEN list_dot_product(q,
-                      [ (('0x'||substr(md5((b*4+j)||'|'||d),1,15))::BIGINT % 2001) - 1000
-                        for d in range(0,64) ]) > 0
-                    THEN (1::BIGINT << j) ELSE 0 END for j in range(0,4) ])::BIGINT
-                  for b in range(0,4) ]) AS band_key FROM e),
-              cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
-                  list_dot_product(a.q, b.q) / (a.nrm * b.nrm) AS cosine
-                FROM bands a JOIN bands b USING (band_key)
-                WHERE a.vec_id <> b.vec_id)
+      // COLLAPSED oracle (r11, VERDICT r10 #3): the old per-vector form
+      // enumerated every band-sharing candidate pair before ranking —
+      // quadratic in the duplication factor at sf>=1 (the oracle's cost;
+      // the engine's k+2 truncation was always linear). This mirrors the
+      // engine's collapse: rep-level candidate groups, target member
+      // rosters sliced to the first 5 (k+2 — a dropped 6th member shares
+      // its group's cosine and trails >=4 smaller-id twins, so it can
+      // rank at best 5th and never enters a top-3), then per-vector
+      // expansion and ranking. Prototype-checked old == new on a
+      // dup-heavy corpus before landing.
+      Some(s"""WITH ${DedupOps.EmbedCtes},
+              rp AS (SELECT DISTINCT a.rep AS ra, b.rep AS rb
+                     FROM bands a JOIN bands b USING (band_key)
+                     WHERE a.rep <> b.rep),
+              cg AS (
+                SELECT rp.ra AS rep_s, gb.members[1:5] AS cand,
+                       list_dot_product(ga.q, gb.q) / (ga.nrm * gb.nrm) AS cosine
+                FROM rp JOIN grpr ga ON ga.rep = rp.ra
+                        JOIN grpr gb ON gb.rep = rp.rb
+                UNION ALL
+                SELECT rep, members[1:5], list_dot_product(q, q) / (nrm * nrm)
+                FROM grpr WHERE len(members) >= 2),
+              src AS (SELECT rep, unnest(members) AS vec_id FROM grpr),
+              cand AS (SELECT vec_id, neighbor_id, cosine FROM (
+                  SELECT vec_id, unnest(cand) AS neighbor_id, cosine FROM (
+                    SELECT src.vec_id, cg.cand, cg.cosine
+                    FROM src JOIN cg ON cg.rep_s = src.rep))
+                WHERE neighbor_id <> vec_id)
               SELECT vec_id, neighbor_id, cosine, rank::BIGINT AS rank FROM (
                 SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
                 FROM cand)

@@ -34,6 +34,42 @@ package org.apache.spark
   */
 object GraftShuffleReaper {
 
+  /** Single-concurrent-operator contract, ENFORCED (VERDICT r10 #4): the
+    * snapshot-then-reap pattern is check-then-act — a shuffle registered
+    * by a concurrent operator after this one took its `liveIds` snapshot
+    * is not in the keep set and WOULD be reaped, which is silent data
+    * loss for non-deterministic lineage. One JVM-wide owner slot turns
+    * that latent hazard into a loud error: the second operator's
+    * `acquire` throws instead of both proceeding. A lock (blocking) would
+    * be wrong here — the second operator's snapshot would still predate
+    * the first's remaining reaps, so waiting doesn't make it safe;
+    * failing fast with a clear message does.
+    */
+  private val owner =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Claim the reaper for one operator's snapshot→reap scope. Throws if
+    * another operator holds it. `tag` is diagnostic (shows up in the
+    * loser's error).
+    */
+  def acquire(tag: String): Unit = {
+    val prev = owner.compareAndExchange(null, tag)
+    if (prev != null) throw new IllegalStateException(
+      s"GraftShuffleReaper is held by operator '$prev' (requested by '$tag') — " +
+        "concurrent scoped reaping would drop the holder's shuffles " +
+        "(its liveIds snapshot predates yours); run disk-bounded " +
+        "operators serially or disable diskBound for one of them")
+  }
+
+  /** Release a scope taken with [[acquire]]. Throws on a mismatched tag —
+    * releasing someone else's scope is the same hazard as never acquiring.
+    */
+  def release(tag: String): Unit = {
+    if (!owner.compareAndSet(tag, null)) throw new IllegalStateException(
+      s"GraftShuffleReaper.release('$tag') but holder is " +
+        s"'${Option(owner.get).getOrElse("<none>")}'")
+  }
+
   /** Ids of every shuffle currently registered on the context — the
     * snapshot a scoped caller takes BEFORE creating its own shuffles.
     */
@@ -43,11 +79,18 @@ object GraftShuffleReaper {
   }
 
   /** Drop the map outputs and files of every shuffle NOT in `keep`,
-    * blocking until the files are gone. No-op (with a stderr note) when
-    * other jobs are running on the context — reaping mid-job could fail
-    * a concurrent fetch, and the disk win can wait for the next barrier.
+    * blocking until the files are gone. Requires the caller to hold the
+    * reaper via [[acquire]] — reaping outside an owned scope is exactly
+    * the concurrent hazard the owner slot exists to prevent. No-op (with
+    * a stderr note) when other jobs are running on the context — reaping
+    * mid-job could fail a concurrent fetch, and the disk win can wait
+    * for the next barrier.
     */
   def dropCreatedSince(sc: SparkContext, keep: Set[Int]): Unit = {
+    if (owner.get == null) throw new IllegalStateException(
+      "GraftShuffleReaper.dropCreatedSince outside an acquired scope — " +
+        "bracket the operator with acquire(tag)/release(tag); the " +
+        "single-concurrent-operator contract is enforced, not documented")
     if (sc.statusTracker.getActiveJobIds.nonEmpty) {
       System.err.println(
         "[GraftShuffleReaper] active jobs on context — skipping reap at this barrier")
@@ -71,7 +114,12 @@ object GraftShuffleReaper {
 
   /** Unscoped reap — every registered shuffle. Only for a context the
     * caller owns outright (single-query probes); operators on the shared
-    * registry session must snapshot + `dropCreatedSince`.
+    * registry session must snapshot + `dropCreatedSince`. Takes its own
+    * scope for the call, so it too fails loudly against a concurrent
+    * holder instead of deleting the holder's shuffles.
     */
-  def dropAll(sc: SparkContext): Unit = dropCreatedSince(sc, Set.empty)
+  def dropAll(sc: SparkContext): Unit = {
+    acquire("dropAll")
+    try dropCreatedSince(sc, Set.empty) finally release("dropAll")
+  }
 }

@@ -72,15 +72,24 @@ object GraftPartitionedCheckpoint {
         "exchange-free (and the claim only stays true) when partCols ⊆ dedupCols")
     // layout columns bind by NAME (here and in attr() below) — duplicate
     // names would let the claim bind the wrong attribute, so ambiguity is
-    // an error up front, with a clearer message than the analyzer's
+    // an error up front, with a clearer message than the analyzer's.
+    // Name matching follows the SESSION's resolution rule (ADVICE r10):
+    // Spark resolves case-insensitively by default, so under that default
+    // columns `u` and `U` ARE ambiguous — a case-sensitive guard would
+    // pass them through to the analyzer's less clear error (and attr()
+    // below could bind a column the repartition resolved differently).
+    val session = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val matches: (String, String) => Boolean =
+      session.sessionState.analyzer.resolver
     (partCols ++ sortCols ++ dedupCols).distinct.foreach { n =>
-      val hits = df.columns.count(_ == n)
+      val hits = df.columns.count(matches(_, n))
       require(hits == 1,
         s"layout column $n matches $hits output columns " +
           s"(${df.columns.mkString(", ")}) — partCols/sortCols/dedupCols " +
-          "must each name exactly one column; rename/prune before checkpointing")
+          "must each name exactly one column (session caseSensitive=" +
+          s"${session.sessionState.conf.caseSensitiveAnalysis}); " +
+          "rename/prune before checkpointing")
     }
-    val session = df.sparkSession.asInstanceOf[classic.SparkSession]
     val parted = df.repartition(numPartitions, partCols.map(col): _*)
     val deduped =
       if (dedupCols.isEmpty) parted else parted.dropDuplicates(dedupCols)
@@ -98,7 +107,7 @@ object GraftPartitionedCheckpoint {
     // layout columns bind by NAME — with duplicate output names the first
     // match would silently claim a layout the blocks may not have (e.g. a
     // post-join frame carrying both sides' `id`), so ambiguity is an error
-    def attr(n: String): Attribute = lr.output.filter(_.name == n) match {
+    def attr(n: String): Attribute = lr.output.filter(a => matches(a.name, n)) match {
       case Seq(a) => a
       case Seq() => throw new IllegalArgumentException(
         s"column $n not in checkpoint output ${lr.output.map(_.name)}")

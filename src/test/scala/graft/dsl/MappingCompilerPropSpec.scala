@@ -200,6 +200,146 @@ class MappingCompilerPropSpec extends SparkTestBase {
     }
   }
 
+  // ---- compound + macro chain parity (VERDICT r10 #4) -------------------
+  // The reference's hairiest semantics are compound-ordinal matching
+  // (etl/target/c3dc_etl.py:226-246) and {find_enum_value} miss →
+  // fall-through to the NEXT rule (:1113-1118), interacting with enum
+  // output canonicalization (:750-764) and the P5 gate's macro exemption
+  // (:1189-1219). This interpreter replays compile() END-TO-END for those
+  // programs: match → chain (with macro fall-through) → default →
+  // gate → enum canonicalization.
+
+  test("compound/macro chains == reference interpreter on 400 random programs") {
+    val s = spark
+    val enumSchema = SchemaLoader.fromJson("""
+    {"$defs": {"profile": {"type": "object", "properties": {
+      "lvl": {"type": "string", "enum": ["C1 : Alpha", "C2 : Beta", "Gray"]}
+    }}}}""")
+    val prop = enumSchema.prop("profile.lvl")
+    val codeToValue = prop.codeToValue        // raw code → PV, no trim/fold
+    val canonByLower = prop.canonicalByLower  // trimmed-lowered PV → canonical
+
+    val srcValGen = Gen.oneOf[Option[String]](
+      None, Some(""), Some(" "), Some("C1"), Some("c1"), Some("C2"),
+      Some("C1 : Alpha"), Some("c2 : beta"), Some("gray"), Some("Gray "),
+      Some("other"))
+    val singleOldGen = Gen.oneOf("*", "+", "", "c1", "C1 : Alpha", "other", " C2 ")
+    val ordGen = Gen.oneOf("*", "+", "", "c1", "other")
+    val compOldGen = Gen.oneOf(
+      Gen.oneOf("*", "+"),
+      Gen.zip(ordGen, ordGen).map { case (a, b) => s"$a;$b" })
+    val newValGen =
+      Gen.oneOf("C2 : Beta", "Gray", "zzz", "", "{find_enum_value}", "C1 : Alpha")
+    val progGen = for {
+      nf <- Gen.oneOf(1, 2)
+      vals <- Gen.listOfN(nf, srcValGen)
+      default <- Gen.option(Gen.oneOf("C1 : Alpha", "bogus", "", "gray"))
+      n <- Gen.choose(0, 4)
+      chain <- Gen.listOfN(n,
+        Gen.zip(if (nf == 1) singleOldGen else compOldGen, newValGen))
+    } yield (nf, vals, default, chain)
+    val cases = Gen.listOfN(400, progGen)
+      .apply(Gen.Parameters.default, Seed(91L)).getOrElse(fail("gen exhausted"))
+
+    // -- the independent interpreter ------------------------------------
+    def cfs(x: String) = x.trim.toLowerCase
+    def isFindEnum(n: String) = {
+      val t = n.trim
+      t.startsWith("{") && t.endsWith("}") &&
+        t.stripPrefix("{").stripSuffix("}").trim.toLowerCase.startsWith("find_enum_value")
+    }
+    def interpretProg(nf: Int, vals: Seq[Option[String]],
+        default: Option[String], chain: List[(String, String)]): Option[String] = {
+      val rawSrc: Option[String] = if (nf > 1) None else vals.head
+      val blankRaw = rawSrc.forall(_ == "") // blank = NULL or exactly ''
+      val srcWithDefault: Option[String] =
+        default match {
+          case Some(d) => if (blankRaw) Some(d) else rawSrc
+          case None    => rawSrc
+        }
+      def singleM(v: Option[String], o: String): Boolean = {
+        val ot = cfs(o)
+        if (ot == "*") true
+        else if (ot == "+") v.map(cfs).getOrElse("") != ""
+        else if (ot.isEmpty) false // equality arm needs both sides nonblank
+        else v.exists(x => cfs(x) == ot)
+      }
+      def ordinalM(v: Option[String], o: String): Boolean = {
+        val ot = cfs(o)
+        if (ot == "*") true
+        else if (ot == "+") v.map(cfs).getOrElse("") != ""
+        else v.map(cfs).getOrElse("") == ot // compound allows blank==blank
+      }
+      def matches(o: String): Boolean =
+        if (nf == 1) singleM(vals.head, o)
+        else {
+          val olds = if (o == "*" || o == "+") Seq.fill(nf)(o)
+                     else o.split(";", -1).toSeq
+          vals.zip(olds).forall { case (v, oo) => ordinalM(v, oo) }
+        }
+      def loop(rs: List[(String, String)]): Option[String] = rs match {
+        case Nil => None
+        case (o, n) :: rest =>
+          if (isFindEnum(n)) {
+            // hit = raw (untrimmed, case-sensitive) code lookup on the RAW
+            // source; compound's raw source is NULL so it always misses
+            val hit = rawSrc.flatMap(codeToValue.get)
+            if (matches(o) && hit.isDefined) hit else loop(rest)
+          } else if (matches(o)) Some(n)
+          else loop(rest)
+      }
+      val value = loop(chain).orElse(srcWithDefault)
+      // P5 gate: macro mappings and compound sources exempt
+      val isMacroMapping = chain.exists { case (_, n) =>
+        n.trim.startsWith("{") && n.trim.endsWith("}") }
+      val gated: Option[String] =
+        if (isMacroMapping || nf > 1) value
+        else {
+          var allowed = chain.collect {
+            case (o, n) if o != "*" && o != "+" && n.nonEmpty => o }.toSet
+          allowed = allowed ++ default // enum prop → default joins the set
+          if (allowed.isEmpty) value
+          else {
+            val folded = allowed.map(cfs)
+            val probe =
+              if (folded.contains("")) Some(srcWithDefault.map(cfs).getOrElse(""))
+              else srcWithDefault.map(cfs)
+            if (probe.exists(folded.contains)) value else None
+          }
+        }
+      // enum conversion canonicalizes by LOWER (no trim) and drops misses
+      gated.flatMap(v => canonByLower.get(v.toLowerCase))
+    }
+
+    // -- one wide single-row frame, one Spark job ------------------------
+    val fields = cases.zipWithIndex.flatMap { case ((nf, _, _, _), i) =>
+      (0 until nf).map(j => StructField(s"f${j}_$i", StringType)) }
+    val row = Row.fromSeq(cases.flatMap { case (_, vs, _, _) => vs.map(_.orNull) })
+    val df = s.createDataFrame(java.util.List.of(row), StructType(fields))
+
+    val compiler = new MappingCompiler(enumSchema)
+    val outCols = cases.zipWithIndex.map { case ((nf, _, default, chain), i) =>
+      val sf = if (nf == 1) s"f0_$i" else s"[f0_$i, f1_$i]"
+      val m = Mapping(
+        outputField = "profile.lvl",
+        sourceField = sf,
+        defaultValue = default.map(ReplacementValue.Scalar),
+        replacements = chain.map { case (o, n) =>
+          Replacement(o, ReplacementValue.Scalar(n)) })
+      compiler.compile(m, CompileCtx("seed", "profile", "0",
+        org.apache.spark.sql.functions.lit("rk"), i)).as(s"out_$i")
+    }
+    val got = df.select(outCols: _*).collect().head
+
+    cases.zipWithIndex.foreach { case ((nf, vals, default, chain), i) =>
+      val expected = interpretProg(nf, vals, default, chain)
+      val actual = Option(got.getString(i))
+      assert(actual == expected,
+        s"case $i: nf=$nf vals=$vals default=$default chain=$chain → " +
+          s"compiled=$actual interpreter=$expected")
+    }
+  }
+
   // ---- config-shape fuzzing (adversarial specs) -------------------------
   // The reference tolerates pathological mapping configs (empty replacement
   // lists, '*'-only groups, conflicting defaults); beyond tolerance, any
