@@ -45,17 +45,50 @@ if len(sys.argv) > 2 and sys.argv[2]:
         print(f"[cohorts] prior artifact unreadable ({e}); all queries heavy",
               file=sys.stderr)
 
-fast = [n for n in names if 0 <= prev.get(n, -1.0) < FAST_CUTOFF]
+# Frame-family AFFINITY (r11): queries sharing a cached signature frame
+# (DedupOps.materialized kinds — shingles3/shgroups, simhash60/simgroups,
+# embedgroups/embedfpbands) must land in the SAME cohort, else the
+# multi-minute frame build lands on whichever member runs first in each
+# JVM and per-query attribution churns round over round (r11 vs r10:
+# d2 +78s / ds3 -18s from exactly this migration). sim1-sim7 join the
+# embed family for the embeddings.parquet page-cache affinity even
+# though only sim6 shares the JVM frames.
+FAMILIES = {
+    "sh":   ("d2_", "d5_", "d10_", "d13_", "ds3_"),
+    "simh": ("d3_", "d4_", "d7_", "d8_"),
+    "emb":  ("d6_", "d12_", "sim"),
+}
+
+
+def family(n):
+    for f, prefixes in FAMILIES.items():
+        if any(n.startswith(p) for p in prefixes):
+            return f
+    return None
+
+
+# fast cohort: under-cutoff queries with NO family (a family member in the
+# fast JVM would pay the whole frame build there — the r10 c1 ds3 reading)
+fast = [n for n in names
+        if family(n) is None and 0 <= prev.get(n, -1.0) < FAST_CUTOFF]
 heavy = [n for n in names if n not in set(fast)]
 
-# greedy bin-pack heavy queries by prior time (descending; unknown -> first,
-# weighted as 600s so one bin doesn't accumulate all the unknowns)
+
+def weight(n):
+    return prev[n] if prev.get(n, -1.0) >= 0 else 600.0
+
+
+# pack UNITS (whole families, then heavy singletons) by weight descending
+units = {}
+for n in heavy:
+    units.setdefault(family(n) or n, []).append(n)
 bins = [[] for _ in range(N_HEAVY)]
 loads = [0.0] * N_HEAVY
-for n in sorted(heavy, key=lambda n: -prev.get(n, 1e9)):
+for key, members in sorted(
+        units.items(), key=lambda kv: -sum(weight(n) for n in kv[1])):
     i = loads.index(min(loads))
-    bins[i].append(n)
-    loads[i] += prev[n] if prev.get(n, -1.0) >= 0 else 600.0
+    bins[i].extend(members)
+    loads[i] += sum(weight(n) for n in members)
 
 cohorts = [c for c in [fast] + bins if c]
 covered = set()
