@@ -36,9 +36,11 @@ object CcProbe {
     val labels =
       if (algo == "minlabel")
         graft.exec.ConnectedComponents.minLabelPropagation(
-          edges, "src", "dst", maxIter = chainLen.toInt + 2)
+          edges, "src", "dst", maxIter = chainLen.toInt + 2,
+          knownEdges = n - nChains)
       else
-        graft.exec.ConnectedComponents.starContraction(edges, "src", "dst")
+        graft.exec.ConnectedComponents.starContraction(
+          edges, "src", "dst", knownEdges = n - nChains)
     // one aggregate = the timed action; also the correctness cross-check
     val r = labels.agg(
       count(lit(1)).as("n"),

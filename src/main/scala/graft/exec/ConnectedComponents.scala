@@ -77,6 +77,25 @@ object ConnectedComponents {
     else df
   }
 
+  /** Above this edge count the iteration frames checkpoint SERIALIZED
+    * (lz4 via spark.rdd.compress) instead of as deserialized row objects.
+    * Deserialized MEMORY_AND_DISK stores a per-row OBJECT copy (~3.5× the
+    * 16 UnsafeRow bytes of a (long,long) edge), and the store path
+    * (`MemoryStore.putIteratorAsValues`) unrolls per task — at 198M edges
+    * on a 64g local[32] heap, 32 concurrent unrollers OOM'd the JVM
+    * before eviction could help (r11 probe, stage-28 heap OOM). The r10
+    * probes measured 49.5M edges safe and fast deserialized, so the
+    * switch sits just past the proven point: big graphs trade per-row
+    * serialization CPU for bounded, compressed block memory — the same
+    * trade g1's diskBound adjacency makes.
+    */
+  private val SerCkptEdgeThreshold = 50L * 1000 * 1000
+
+  private def ckptLevel(edges: Long): org.apache.spark.storage.StorageLevel =
+    if (edges > SerCkptEdgeThreshold)
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
   /** Checkpoint `df` deduplicated by (u, v) with a claimed hash(`keyCol`)
     * layout — the dedup rides the repartition (keyCol ⊆ dedup cols), so
     * this costs the same one shuffle as the `.distinct()` it replaces.
@@ -86,14 +105,14 @@ object ConnectedComponents {
     * safe). Collapsed near-dup graphs have bounded degree, so the skew
     * exposure is the same one g1 accepted for its adjacency.
     */
-  private def dedupCkpt(df: DataFrame, keyCol: String): DataFrame =
+  private def dedupCkpt(df: DataFrame, keyCol: String,
+      level: org.apache.spark.storage.StorageLevel): DataFrame =
     if (claimed) {
       val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
       org.apache.spark.sql.GraftPartitionedCheckpoint(
-        df, parts, Seq(keyCol), Nil, eager = false,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+        df, parts, Seq(keyCol), Nil, eager = false, level,
         dedupCols = Seq("u", "v"))
-    } else df.distinct().localCheckpoint(false)
+    } else df.distinct().localCheckpoint(false, level)
 
   /** Size-adaptive entry point — the broadcast-join logic applied to graph
     * clustering: a small edge set (it is known exactly after candidate
@@ -119,7 +138,7 @@ object ConnectedComponents {
     // a run where the local path fired)
     System.err.println(s"[cc] $n collapsed edges -> " +
       (if (n > localThreshold) "distributed star contraction" else "driver union-find"))
-    if (n > localThreshold) starContraction(fwd, "src", "dst", maxIter)
+    if (n > localThreshold) starContraction(fwd, "src", "dst", maxIter, knownEdges = n)
     else {
       // union-find with path halving; roots then remapped to component min
       val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -181,17 +200,24 @@ object ConnectedComponents {
     * @return frame (id, label): label = min node id in the component
     */
   def starContraction(
-      edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 30): DataFrame = {
+      edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 30,
+      knownEdges: Long = -1): DataFrame = {
+    // checkpoint level is size-adaptive (ckptLevel): callers that already
+    // know the edge count (components() counts it for dispatch; probes
+    // construct it) pass knownEdges so even the SEED frames store
+    // serialized on big graphs; unknown (-1) seeds store deserialized and
+    // the per-round frames adapt from the first checksum's exact count
+    var lvl = ckptLevel(knownEdges)
     // raw keeps self-loops: they contribute NODES (self-labeled at the
     // end) even though they contribute no contraction edges
     val raw = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
-      .localCheckpoint(false) // consumed by the loop seed AND the node set
+      .localCheckpoint(false, lvl) // consumed by the loop seed AND the node set
     var e = raw
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .distinct()
-      .localCheckpoint(false)
+      .localCheckpoint(false, lvl)
 
     // Every summed term is reduced below 2^20 FIRST, so the sums stay
     // exact to ~8e12 rows: the original sum(u) / sum((u%p)*(v%q)) terms
@@ -216,6 +242,7 @@ object ConnectedComponents {
       // build-side row bound for this round's hash joins: mins/mins2 have
       // one row per distinct node, and |nodes| <= 2*|edges|
       val estBuild = 2L * prevSum._1
+      lvl = ckptLevel(prevSum._1) // rounds shrink; level tracks the count
       // large-star over both directions: m(u) = min(u, min neighbor)
       val bidir = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val mins = bidir.groupBy(col("u"))
@@ -224,7 +251,7 @@ object ConnectedComponents {
         bidir.join(hinted(mins, estBuild), "u")
           .filter(col("v") > col("u"))
           .select(col("v").as("u"), col("m").as("v")),
-        "u") // two consumers below (groupBy + join)
+        "u", lvl) // two consumers below (groupBy + join)
       // small-star on canonical edges: m(u) = min smaller-neighbor
       val mins2 = large.groupBy(col("u")).agg(min(col("v")).as("m"))
       val next = large.join(hinted(mins2, estBuild), "u")
@@ -232,7 +259,7 @@ object ConnectedComponents {
         .select(col("v").as("u"), col("m").as("v"))
         .union(mins2.select(col("u"), col("m").as("v")))
         .distinct()
-        .localCheckpoint(false)
+        .localCheckpoint(false, lvl)
       val s = checksum(next)
       // checksum equality only UNLOCKS the exact set comparison; the
       // except pass runs once per convergence, not once per round
@@ -269,11 +296,15 @@ object ConnectedComponents {
     * @return frame (id, label): label = min node id in the component
     */
   def minLabelPropagation(
-      edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 20): DataFrame = {
+      edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 20,
+      knownEdges: Long = -1): DataFrame = {
     // no distinct() on the edge list: duplicate edges cannot change a min,
     // they only fan out the join a little — cheaper than a dedup shuffle
     val fwd = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
     val parts = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // size-adaptive checkpoint level, same rationale as starContraction's
+    // (bidir is 2|edges| rows — the biggest deserialized-OOM exposure)
+    val lvl = ckptLevel(knownEdges)
     // claimed regime (off by default, see `claimed`): bidir keeps the SAME
     // src keying across every propagation round, so claiming hash(src)
     // spares the per-round join exchange — but the probe measured the
@@ -281,16 +312,14 @@ object ConnectedComponents {
     val bidirRaw = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
     val bidir =
       if (claimed) org.apache.spark.sql.GraftPartitionedCheckpoint(
-        bidirRaw, parts, Seq("src"), Nil, eager = false,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else bidirRaw.localCheckpoint(false)
+        bidirRaw, parts, Seq("src"), Nil, eager = false, lvl)
+      else bidirRaw.localCheckpoint(false, lvl)
     // label init FUSED with propagation round 1: each node's first label is
     // min(self, neighbors) from one aggregation, no init frame + no join
     def ckptLabels(df: DataFrame): DataFrame =
       if (claimed) org.apache.spark.sql.GraftPartitionedCheckpoint(
-        df, parts, Seq("id"), Nil, eager = false,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else df.localCheckpoint(false)
+        df, parts, Seq("id"), Nil, eager = false, lvl)
+      else df.localCheckpoint(false, lvl)
     var labels = ckptLabels(bidir.groupBy(col("src").as("id"))
       .agg(least(min(col("src")), min(col("dst"))).as("label")))
     // Convergence via the label-sum invariant: min-propagation only ever
