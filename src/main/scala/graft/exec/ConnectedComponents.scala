@@ -69,8 +69,8 @@ object ConnectedComponents {
     * rounds shrink geometrically, so a huge graph re-enters the hinted
     * regime after its first few contractions.
     */
-  private val MaxHashBuildRowsPerTask = 4L << 20
-  private def hinted(df: DataFrame, estBuildRows: Long): DataFrame = {
+  private[exec] val MaxHashBuildRowsPerTask = 4L << 20
+  private[exec] def hinted(df: DataFrame, estBuildRows: Long): DataFrame = {
     val parts = math.max(
       df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, 1)
     if (estBuildRows / parts <= MaxHashBuildRowsPerTask) df.hint("shuffle_hash")
@@ -89,9 +89,9 @@ object ConnectedComponents {
     * serialization CPU for bounded, compressed block memory — the same
     * trade g1's diskBound adjacency makes.
     */
-  private val SerCkptEdgeThreshold = 50L * 1000 * 1000
+  private[exec] val SerCkptEdgeThreshold = 50L * 1000 * 1000
 
-  private def ckptLevel(edges: Long): org.apache.spark.storage.StorageLevel =
+  private[exec] def ckptLevel(edges: Long): org.apache.spark.storage.StorageLevel =
     if (edges > SerCkptEdgeThreshold)
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK

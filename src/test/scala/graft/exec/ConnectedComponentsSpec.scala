@@ -182,4 +182,32 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(star == exp, s"star contraction wrong on huge ids: $star")
     assert(ml == exp, s"min-label wrong on huge ids: $ml")
   }
+
+  test("checkpoint level turns serialized past the 50M-edge threshold (r11 OOM pin)") {
+    // r11: 198M-edge probe OOM'd a 64g heap storing deserialized row
+    // objects (MemoryStore.putIteratorAsValues, 32 concurrent unrollers);
+    // 49.5M was measured safe deserialized — the switch sits just past it
+    import org.apache.spark.storage.StorageLevel
+    assert(ConnectedComponents.ckptLevel(-1) == StorageLevel.MEMORY_AND_DISK)
+    assert(ConnectedComponents.ckptLevel(ConnectedComponents.SerCkptEdgeThreshold)
+      == StorageLevel.MEMORY_AND_DISK)
+    assert(ConnectedComponents.ckptLevel(ConnectedComponents.SerCkptEdgeThreshold + 1)
+      == StorageLevel.MEMORY_AND_DISK_SER)
+  }
+
+  test("shuffle-hash hint gates off past the per-task build-row bound (ADVICE r10)") {
+    // the SHJ build side cannot spill: above MaxHashBuildRowsPerTask
+    // estimated rows per partition the iteration joins must fall back to
+    // the spillable sort-merge plan instead of hinting a map that OOMs
+    val df = Seq((1L, 2L)).toDF("u", "v")
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toLong
+    val under = ConnectedComponents.hinted(
+      df, parts * ConnectedComponents.MaxHashBuildRowsPerTask)
+    val over = ConnectedComponents.hinted(
+      df, parts * ConnectedComponents.MaxHashBuildRowsPerTask + parts)
+    assert(under.queryExecution.logical.toString.contains("shuffle_hash"),
+      "hint missing below the bound")
+    assert(!over.queryExecution.logical.toString.contains("shuffle_hash"),
+      "hint must be dropped above the bound (non-spillable build would OOM)")
+  }
 }
