@@ -35,7 +35,10 @@ if len(sys.argv) > 2 and sys.argv[2]:
         # composition oscillate round over round (ADVICE r10). Drop those
         # readings (treat the query as unmeasured) unless the prior gate
         # ran with the per-cohort prewarm, whose firsts are trustworthy.
-        if "prewarm" not in doc.get("cohort_note", ""):
+        # Trust the derived boolean (merge_cohorts.py r12: present only
+        # when every cohort sidecar carried prewarm_sec); fall back to the
+        # r11 note-string for artifacts that predate the field.
+        if not doc.get("prewarmed", "prewarm" in doc.get("cohort_note", "")):
             firsts = set(doc.get("cohort_firsts", {}).values())
             if not firsts:  # pre-r11 artifacts: derive from the cohort lists
                 firsts = {sorted(qs)[0] for qs in doc.get("cohorts", {}).values() if qs}
@@ -53,10 +56,14 @@ if len(sys.argv) > 2 and sys.argv[2]:
 # d2 +78s / ds3 -18s from exactly this migration). sim1-sim7 join the
 # embed family for the embeddings.parquet page-cache affinity even
 # though only sim6 shares the JVM frames.
+# every prefix is underscore-delimited (ADVICE r11: a bare "sim" would
+# silently capture any future query whose name merely starts with sim,
+# e.g. a simhash-named probe)
 FAMILIES = {
     "sh":   ("d2_", "d5_", "d10_", "d13_", "ds3_"),
     "simh": ("d3_", "d4_", "d7_", "d8_"),
-    "emb":  ("d6_", "d12_", "sim"),
+    "emb":  ("d6_", "d12_", "sim1_", "sim2_", "sim3_", "sim4_", "sim5_",
+             "sim6_", "sim7_"),
 }
 
 

@@ -14,6 +14,7 @@ import sys
 out, gen, namesf = sys.argv[1], sys.argv[2], sys.argv[3]
 names = set(l.strip() for l in open(namesf) if l.strip())
 merged, failed, cohorts = {}, [], {}
+prewarmed = True
 for f in sorted(sys.argv[4:]):
     d = json.load(open(f))
     qs = d["queries"]
@@ -22,13 +23,19 @@ for f in sorted(sys.argv[4:]):
     merged.update(qs)
     failed += d.get("failed", [])
     cohorts[f] = sorted(qs)
+    # Bench writes prewarm_sec to its sidecar only when it actually ran
+    # the SPARK_GRAFT_BENCH_PREWARM pass — derive the prewarm claim from
+    # that, never hardcode it (ADVICE r11: a gate run without the env var
+    # must not advertise trustworthy cohort-first readings)
+    prewarmed = prewarmed and ("prewarm_sec" in d)
 
-# Each cohort JVM is PREWARMED before its first query (footer reads +
-# one codegen-heavy noop — Bench's SPARK_GRAFT_BENCH_PREWARM), so
-# alphabetically-first readings are measurements, not cold-start upper
-# bounds (r10's unwarmed gate had a2 read 83.9s as a first vs 30.1s
-# mid-suite). Firsts are still named for audit: cohorts.py trusts prior
-# readings only when the note below says the gate was prewarmed.
+# Each cohort JVM should be PREWARMED before its first query (footer
+# reads + one codegen-heavy noop — Bench's SPARK_GRAFT_BENCH_PREWARM),
+# making alphabetically-first readings measurements, not cold-start
+# upper bounds (r10's unwarmed gate had a2 read 83.9s as a first vs
+# 30.1s mid-suite). Firsts are still named for audit: cohorts.py trusts
+# prior readings only when the "prewarmed" field below — derived from
+# every sidecar carrying prewarm_sec, not asserted — is true.
 firsts = {f: qs[0] for f, qs in cohorts.items() if qs}
 
 missing = names - set(merged)
@@ -42,12 +49,14 @@ doc = {
     "queries": merged, "sf": "scale/sf100", "generation": gen,
     "cohorts": cohorts,
     "cohort_firsts": firsts,
-    "cohort_note": ("fresh JVM per cohort, single-pass cold, prewarmed "
-                    "(parquet footers + codegen noop) before the first "
-                    "query; fast cohort (prior <5s) first so sub-second "
-                    "queries time against an unpolluted block manager; "
-                    "cohort_firsts listed for audit — with the prewarm "
-                    "they are measurements, not cold-start upper bounds"),
+    "prewarmed": prewarmed,
+    "cohort_note": ("fresh JVM per cohort, single-pass cold; prewarmed=" +
+                    str(prewarmed).lower() + " (derived from prewarm_sec "
+                    "in every cohort sidecar, not asserted); fast cohort "
+                    "(prior <5s) first so sub-second queries time against "
+                    "an unpolluted block manager; cohort_firsts listed for "
+                    "audit — with the prewarm they are measurements, not "
+                    "cold-start upper bounds"),
 }
 bad = sorted(set(failed) | {k for k, v in merged.items() if v < 0})
 if bad:

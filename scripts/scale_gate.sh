@@ -102,9 +102,14 @@ if [ "${SKIP_SF100:-0}" != "1" ]; then
     # name becomes a prefix of another (ADVICE r10). PREWARM: footers +
     # codegen noop before the first query, so cohort-first readings are
     # measurements, not cold-start upper bounds (VERDICT r10 #2).
+    # RUN_LAST=g1_pagerank: g1's diskBound pass churns ~17 GB through the
+    # page cache; every query after it in the same JVM read cache-cold
+    # (r11: t13 31.9s vs 9.4s scattered). Last in its JVM, the tax is
+    # structurally zero — and the env var is a no-op for cohorts that
+    # don't contain g1 (VERDICT r11 #2).
     SPARK_GRAFT_SF_DIR="$PWD/scale/sf100" SPARK_GRAFT_BENCH_OUT="$cout" \
     SPARK_GRAFT_BENCH_REPS=1 SPARK_GRAFT_BENCH_WARMUP=0 SPARK_GRAFT_BENCH_DUAL=0 \
-    SPARK_GRAFT_BENCH_PREWARM=1 \
+    SPARK_GRAFT_BENCH_PREWARM=1 SPARK_GRAFT_BENCH_RUN_LAST=g1_pagerank \
     SPARK_DRIVER_MEM=64g SPARK_GRAFT_SHUFFLE_PARTITIONS=128 \
       sbt -batch "runMain graft.Bench --exact $line" </dev/null 2>/dev/null \
       | grep '"metric"' >> "bench/sf100_cold_${TAG}_stdout.json" || true

@@ -161,7 +161,21 @@ object Bench {
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     val warmup = sys.env.get("SPARK_GRAFT_BENCH_WARMUP").forall(_ != "0")
     val dual = !noopAction && sys.env.get("SPARK_GRAFT_BENCH_DUAL").forall(_ != "0")
-    val ordered = SparkEntry.queries.toSeq.filter(q => wanted(q._1)).sortBy(_._1)
+    // SPARK_GRAFT_BENCH_RUN_LAST: comma-separated query names moved (in
+    // sorted order) to the END of the run. The sf100 gate passes
+    // g1_pagerank: its diskBound pass churns ~17 GB through the page
+    // cache and every query that ran after it in the same JVM read its
+    // inputs cache-cold (r11 gate: t13 31.9 s vs 9.4 s scattered — a
+    // composition tax, not a regression). Running disk-bounded queries
+    // last keeps the order deterministic AND the tax structural zero.
+    val runLast = sys.env.get("SPARK_GRAFT_BENCH_RUN_LAST")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val ordered = {
+      val sorted = SparkEntry.queries.toSeq.filter(q => wanted(q._1)).sortBy(_._1)
+      val (late, early) = sorted.partition(q => runLast.contains(q._1))
+      early ++ late
+    }
     if (warmup) {
       ordered.foreach { case (name, fn) => timeOnce(name, fn) } // untimed warm-up pass
       // the noop physical plans differ from the count() ones (no aggregate
@@ -290,7 +304,13 @@ object Bench {
         if (l2.length <= 1820) l2
         else {
           val l1 = line(1)
-          if (l1.length <= 1820) l1 else slowestSubset(1600)
+          // the fallback's query budget must leave room for the fixed
+          // payloads that ride every tier — the 1600 was tuned before
+          // sentinelJson existed (ADVICE r11), and an unbounded failed
+          // list could push the one line this tier exists to fit past
+          // the driver's ~1.9 KB stdout window
+          if (l1.length <= 1820) l1
+          else slowestSubset(1600 - sentinelJson.length - failedJson.length)
         }
       }
     }

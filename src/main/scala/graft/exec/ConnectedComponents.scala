@@ -96,6 +96,37 @@ object ConnectedComponents {
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
+  /** Exact edge count for the checkpoint-level decision when the caller
+    * didn't pass one (ADVICE r11: a knownEdges = -1 seed used to
+    * checkpoint the 2|edges| frames DESERIALIZED — the exact 198M-edge
+    * OOM mode ckptLevel exists to prevent). One cheap count aggregate of
+    * the input, paid only on the unknown path; every engine call site
+    * (components()'s dispatch count, the probes' closed forms) passes
+    * the count and skips it.
+    */
+  private def countIfUnknown(edges: DataFrame, knownEdges: Long): Long =
+    if (knownEdges >= 0) knownEdges else edges.count()
+
+  /** Per-round shuffle-scratch reclamation (VERDICT r11 #3), mirroring
+    * g1's diskBound mode: each contraction/propagation round writes
+    * O(|edges|) of shuffle files (5 shuffles/round in star contraction —
+    * +16 GB/round at 198M edges) that the ContextCleaner only frees on
+    * lineage GC, so scratch grows LINEARLY in rounds and was the named
+    * next-decade wall at ~800M–2B edges (SCALE.md r11). At each round
+    * barrier every live frame (raw/e/bidir/labels) is checkpoint-backed
+    * and just materialized by the round's own aggregate, so dropping the
+    * round's shuffles is pure disk win — peak scratch becomes one
+    * round's volume, not the sum over rounds. The reaper's JVM-wide
+    * owner slot is held for the whole loop (acquire throws against a
+    * concurrent disk-bounded operator), and dropCreatedSince itself
+    * skips loudly if jobs are somehow active at the barrier.
+    */
+  private def reapBarrier(df: DataFrame, diskBound: Boolean,
+      reapKeep: Set[Int]): Unit =
+    if (diskBound)
+      org.apache.spark.GraftShuffleReaper.dropCreatedSince(
+        df.sparkSession.sparkContext, reapKeep)
+
   /** Checkpoint `df` deduplicated by (u, v) with a claimed hash(`keyCol`)
     * layout — the dedup rides the repartition (keyCol ⊆ dedup cols), so
     * this costs the same one shuffle as the `.distinct()` it replaces.
@@ -128,7 +159,8 @@ object ConnectedComponents {
     */
   def components(
       edges: DataFrame, srcCol: String, dstCol: String,
-      localThreshold: Long = 1L << 20, maxIter: Int = 30): DataFrame = {
+      localThreshold: Long = 1L << 20, maxIter: Int = 30,
+      diskBound: Boolean = false, reapKeep: Set[Int] = Set.empty): DataFrame = {
     val fwd = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .localCheckpoint(false)
@@ -138,7 +170,9 @@ object ConnectedComponents {
     // a run where the local path fired)
     System.err.println(s"[cc] $n collapsed edges -> " +
       (if (n > localThreshold) "distributed star contraction" else "driver union-find"))
-    if (n > localThreshold) starContraction(fwd, "src", "dst", maxIter, knownEdges = n)
+    if (n > localThreshold)
+      starContraction(fwd, "src", "dst", maxIter, knownEdges = n,
+        diskBound = diskBound, reapKeep = reapKeep)
     else {
       // union-find with path halving; roots then remapped to component min
       val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -201,13 +235,31 @@ object ConnectedComponents {
     */
   def starContraction(
       edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 30,
-      knownEdges: Long = -1): DataFrame = {
+      knownEdges: Long = -1, diskBound: Boolean = false,
+      reapKeep: Set[Int] = Set.empty): DataFrame = {
+    // g1's bracket pattern: the diskBound loop holds the reaper's owner
+    // slot for its whole snapshot→reap scope, so a concurrent
+    // disk-bounded operator fails loudly at acquire instead of silently
+    // losing shuffles. The returned frame is checkpoint-backed — no
+    // reaping needed after release.
+    if (diskBound) org.apache.spark.GraftShuffleReaper.acquire("cc-star")
+    try starContractionImpl(edges, srcCol, dstCol, maxIter, knownEdges,
+      diskBound, reapKeep)
+    finally if (diskBound) org.apache.spark.GraftShuffleReaper.release("cc-star")
+  }
+
+  private def starContractionImpl(
+      edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int,
+      knownEdges: Long, diskBound: Boolean, reapKeep: Set[Int]): DataFrame = {
     // checkpoint level is size-adaptive (ckptLevel): callers that already
     // know the edge count (components() counts it for dispatch; probes
-    // construct it) pass knownEdges so even the SEED frames store
-    // serialized on big graphs; unknown (-1) seeds store deserialized and
-    // the per-round frames adapt from the first checksum's exact count
-    var lvl = ckptLevel(knownEdges)
+    // construct it) pass knownEdges; unknown (-1) pays one count of the
+    // input FIRST — seeding a big graph deserialized is the exact
+    // 198M-edge unroller-OOM mode the level switch exists to prevent
+    // (ADVICE r11). Per-round frames keep adapting from the checksum's
+    // exact count as rounds shrink.
+    val nEdges = countIfUnknown(edges, knownEdges)
+    var lvl = ckptLevel(nEdges)
     // raw keeps self-loops: they contribute NODES (self-labeled at the
     // end) even though they contribute no contraction edges
     val raw = edges
@@ -265,6 +317,12 @@ object ConnectedComponents {
       // except pass runs once per convergence, not once per round
       converged = s == prevSum &&
         next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      // round barrier: raw/e/next are checkpoint-backed and materialized
+      // (checksum/exceptAll were actions over every partition), so this
+      // round's ~5 O(|edges|) shuffles are pure scratch — reclaim them
+      // now and peak shuffle disk stays one round's volume instead of
+      // growing linearly in rounds (the named ~800M–2B-edge wall)
+      reapBarrier(next, diskBound, reapKeep)
       prevSum = s
       e = next
       iter += 1
@@ -297,14 +355,26 @@ object ConnectedComponents {
     */
   def minLabelPropagation(
       edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 20,
-      knownEdges: Long = -1): DataFrame = {
+      knownEdges: Long = -1, diskBound: Boolean = false,
+      reapKeep: Set[Int] = Set.empty): DataFrame = {
+    if (diskBound) org.apache.spark.GraftShuffleReaper.acquire("cc-minlabel")
+    try minLabelImpl(edges, srcCol, dstCol, maxIter, knownEdges, diskBound, reapKeep)
+    finally if (diskBound) org.apache.spark.GraftShuffleReaper.release("cc-minlabel")
+  }
+
+  private def minLabelImpl(
+      edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int,
+      knownEdges: Long, diskBound: Boolean, reapKeep: Set[Int]): DataFrame = {
     // no distinct() on the edge list: duplicate edges cannot change a min,
     // they only fan out the join a little — cheaper than a dedup shuffle
     val fwd = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
     val parts = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     // size-adaptive checkpoint level, same rationale as starContraction's
-    // (bidir is 2|edges| rows — the biggest deserialized-OOM exposure)
-    val lvl = ckptLevel(knownEdges)
+    // (bidir is 2|edges| rows — the biggest deserialized-OOM exposure);
+    // an unknown count pays one cheap aggregate rather than seeding the
+    // 2|edges| frame deserialized (ADVICE r11 — the comment used to claim
+    // adaptation that never happened)
+    val lvl = ckptLevel(countIfUnknown(fwd, knownEdges))
     // claimed regime (off by default, see `claimed`): bidir keeps the SAME
     // src keying across every propagation round, so claiming hash(src)
     // spares the per-round join exchange — but the probe measured the
@@ -348,6 +418,11 @@ object ConnectedComponents {
         .groupBy(col("id")).agg(min(col("label")).as("label")))
       val (s, n2) = labelSum(next)
       converged = s.compareTo(prevSum) == 0 // value equality, scale-blind
+      // round barrier (diskBound): bidir/labels/next are checkpoint-backed
+      // and labelSum just materialized next — the round's join+agg
+      // shuffles are scratch, reclaim them (same rationale as the star
+      // loop's barrier)
+      reapBarrier(next, diskBound, reapKeep)
       prevSum = s
       nNodes = n2
       labels = next

@@ -63,18 +63,34 @@ final class NodeBuilder(schema: C3dcSchema, xform: Transformation) {
     require(groups.nonEmpty, s"no mappings for node type $node")
 
     val frames = groups.flatMap { case (gi, ms) =>
-      // dict-assignment semantics: last mapping for a property wins
-      val byProp = scala.collection.mutable.LinkedHashMap.empty[String, Mapping]
-      ms.foreach(m => byProp(m.property) = m)
+      // assignment order, gate-aware (reference :1291-1322): mappings for
+      // the same property assign in order and a P5-GATED mapping SKIPS —
+      // the earlier mapping's value survives — so plain dict last-wins is
+      // only right when the later mapping is ungated (an ungated null
+      // still overwrites). Caught by TypeGroupsPropSpec program 36: a
+      // gated trailing mapping nulled a value the reference keeps.
+      val propsInOrder = ms.map(_.property).distinct
+      val byProp = ms.groupBy(_.property)
 
       // a required property with no mapping in this group can never be
       // populated → the whole group yields no records (plan-time prune)
       val unmappedRequired = spec.requiredProps.filterNot(p => byProp.contains(p) || p == "id")
       if (unmappedRequired.nonEmpty) None
       else {
-        val cols = byProp.toSeq.map { case (prop, m) =>
-          val ctx = CompileCtx(xform.uuidSeed, node, gi, rowKey, ordinals.getOrElse(m, 0))
-          compiler.compile(m, ctx).as(prop)
+        val cols = propsInOrder.map { prop =>
+          val chain = byProp(prop)
+          def compiled(m: Mapping): Column = {
+            val ctx = CompileCtx(xform.uuidSeed, node, gi, rowKey, ordinals.getOrElse(m, 0))
+            compiler.compile(m, ctx)
+          }
+          // fold: each later mapping overwrites unless its gate rejects,
+          // in which case the accumulated earlier value shows through
+          chain.tail.foldLeft(compiled(chain.head)) { (acc, m) =>
+            compiler.gateAdmitted(m) match {
+              case None      => compiled(m)
+              case Some(adm) => when(adm, compiled(m)).otherwise(acc)
+            }
+          }.as(prop)
         } ++ passthrough.map { case (n, c) => c.as(n) }
         val projected = source.select(cols: _*)
         Some(projected.filter(requiredPred(spec, byProp.keySet.toSet)))

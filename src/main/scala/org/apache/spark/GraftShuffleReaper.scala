@@ -53,6 +53,10 @@ object GraftShuffleReaper {
     * loser's error).
     */
   def acquire(tag: String): Unit = {
+    // first-use gate on every scope: the cleanup path below is 4.1.2
+    // behavior, and a quietly different Spark must fail loudly here,
+    // not half-reclaim at a decade probe (VERDICT r11 #4)
+    GraftInternalsPin.check("GraftShuffleReaper", "ShuffleReaperSpec")
     val prev = owner.compareAndExchange(null, tag)
     if (prev != null) throw new IllegalStateException(
       s"GraftShuffleReaper is held by operator '$prev' (requested by '$tag') — " +
@@ -73,9 +77,12 @@ object GraftShuffleReaper {
   /** Ids of every shuffle currently registered on the context — the
     * snapshot a scoped caller takes BEFORE creating its own shuffles.
     */
-  def liveIds(sc: SparkContext): Set[Int] = SparkEnv.get.mapOutputTracker match {
-    case m: MapOutputTrackerMaster => m.shuffleStatuses.keys.toSet
-    case _                         => Set.empty
+  def liveIds(sc: SparkContext): Set[Int] = {
+    GraftInternalsPin.check("GraftShuffleReaper", "ShuffleReaperSpec")
+    SparkEnv.get.mapOutputTracker match {
+      case m: MapOutputTrackerMaster => m.shuffleStatuses.keys.toSet
+      case _                         => Set.empty
+    }
   }
 
   /** Drop the map outputs and files of every shuffle NOT in `keep`,

@@ -67,6 +67,11 @@ object GraftPartitionedCheckpoint {
   def apply(df: DataFrame, numPartitions: Int, partCols: Seq[String],
       sortCols: Seq[String], eager: Boolean, level: StorageLevel,
       dedupCols: Seq[String] = Nil): DataFrame = {
+    // loud version pin (VERDICT r11 #4): the LogicalRDD rebuild and the
+    // REPARTITION_BY_NUM never-coalesced invariant are 4.1.2 facts; a
+    // quietly different Spark must fail here, not claim a false layout
+    org.apache.spark.GraftInternalsPin.check(
+      "GraftPartitionedCheckpoint", "PartitionedCheckpointSpec")
     require(dedupCols.isEmpty || partCols.forall(dedupCols.contains),
       s"dedup by $dedupCols inside a $partCols partitioning is only " +
         "exchange-free (and the claim only stays true) when partCols ⊆ dedupCols")

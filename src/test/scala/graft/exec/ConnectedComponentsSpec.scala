@@ -183,6 +183,49 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(ml == exp, s"min-label wrong on huge ids: $ml")
   }
 
+  test("diskBound star contraction brackets the reaper (acquire/release) and stays correct") {
+    import org.apache.spark.GraftShuffleReaper
+    // holder in place → the diskBound loop must fail at acquire, loudly
+    GraftShuffleReaper.acquire("spec-holder")
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    try {
+      val e = intercept[IllegalStateException] {
+        ConnectedComponents.starContraction(edges, "a", "b", diskBound = true)
+      }
+      assert(e.getMessage.contains("spec-holder") && e.getMessage.contains("cc-star"))
+      intercept[IllegalStateException] {
+        ConnectedComponents.minLabelPropagation(edges, "a", "b", diskBound = true)
+      }
+    } finally GraftShuffleReaper.release("spec-holder")
+    // slot free → the diskBound run completes, RELEASES (provable by a
+    // follow-up acquire succeeding), reaps only its own shuffles (the
+    // pre-existing one survives), and labels are still right
+    val before = GraftShuffleReaper.liveIds(spark.sparkContext)
+    val foreign = Seq(1, 2, 2).toDF("x").groupBy("x").count()
+    foreign.collect()
+    val keep = GraftShuffleReaper.liveIds(spark.sparkContext)
+    // the ids foreign's collect just registered — strongly referenced via
+    // `foreign`, so the ContextCleaner can't legitimately clean them;
+    // older suites' garbage ids CAN vanish on their own, so the survival
+    // assertion is about exactly these, not all of `keep`
+    val foreignIds = keep -- before
+    assert(foreignIds.nonEmpty)
+    val got = ConnectedComponents.starContraction(
+        edges, "a", "b", diskBound = true, reapKeep = keep)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(foreignIds.subsetOf(GraftShuffleReaper.liveIds(spark.sparkContext)),
+      "a foreign pre-snapshot shuffle was reaped")
+    GraftShuffleReaper.acquire("spec-after")
+    GraftShuffleReaper.release("spec-after")
+    val gotMl = ConnectedComponents.minLabelPropagation(
+        edges, "a", "b", diskBound = true, reapKeep = keep)
+      .as[(Long, Long)].collect().toMap
+    assert(gotMl == got)
+    GraftShuffleReaper.acquire("spec-after-2")
+    GraftShuffleReaper.release("spec-after-2")
+  }
+
   test("checkpoint level turns serialized past the 50M-edge threshold (r11 OOM pin)") {
     // r11: 198M-edge probe OOM'd a 64g heap storing deserialized row
     // objects (MemoryStore.putIteratorAsValues, 32 concurrent unrollers);

@@ -40,17 +40,45 @@ class ShuffleReaperSpec extends SparkTestBase {
     } finally GraftShuffleReaper.release("op-a")
   }
 
+  test("internals version pin: guard fires on a spoofed version, passes on the real one") {
+    import org.apache.spark.GraftInternalsPin
+    // the running Spark IS the pinned one (otherwise every acquire above
+    // would already have failed) — assert that explicitly so an upgrade
+    // flips this suite red before any internals misbehave quietly
+    assert(GraftInternalsPin.Pinned == org.apache.spark.SPARK_VERSION)
+    GraftInternalsPin.check("GraftShuffleReaper", "ShuffleReaperSpec")
+    val e = intercept[IllegalStateException] {
+      GraftInternalsPin.check("GraftShuffleReaper", "ShuffleReaperSpec",
+        version = "4.2.0")
+    }
+    // the message must carry the re-verify recipe: shim name, the spec to
+    // re-run, and both version strings
+    assert(e.getMessage.contains("GraftShuffleReaper"))
+    assert(e.getMessage.contains("ShuffleReaperSpec"))
+    assert(e.getMessage.contains("4.1.2") && e.getMessage.contains("4.2.0"))
+  }
+
   test("scoped reap inside an acquired scope keeps the snapshot's shuffles") {
     import spark.implicits._
     GraftShuffleReaper.acquire("op-spec")
     try {
-      // force one shuffle, snapshot, force another, reap since snapshot
+      // force one shuffle, snapshot, force another, reap since snapshot.
+      // Assertions are one-sided on purpose: ids in `keep` that belong to
+      // earlier suites' garbage can be ContextCleaner-reclaimed at any
+      // moment, so `liveIds == keep` is a race — what the reaper
+      // guarantees is (a) every post-snapshot id is gone and (b) nothing
+      // outside keep survives.
       val before = Seq(1, 2, 2, 3).toDF("x").groupBy("x").count()
       before.collect()
       val keep = GraftShuffleReaper.liveIds(spark.sparkContext)
-      Seq(4, 5, 5).toDF("y").groupBy("y").count().collect()
+      val extra = Seq(4, 5, 5).toDF("y").groupBy("y").count()
+      extra.collect()
+      val newIds = GraftShuffleReaper.liveIds(spark.sparkContext) -- keep
+      assert(newIds.nonEmpty)
       GraftShuffleReaper.dropCreatedSince(spark.sparkContext, keep)
-      assert(GraftShuffleReaper.liveIds(spark.sparkContext) == keep)
+      val after = GraftShuffleReaper.liveIds(spark.sparkContext)
+      assert((after & newIds).isEmpty, "post-snapshot shuffles survived the reap")
+      assert(after.subsetOf(keep), "reap left ids outside the keep set")
     } finally GraftShuffleReaper.release("op-spec")
   }
 }
