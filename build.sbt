@@ -35,3 +35,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // noise (the container has 128 GiB)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
+// Ad-hoc JVM flags for probe runs (e.g. -Dspark.eventLog.enabled=true to
+// stage-decompose a single query) without editing this file per probe.
+javaOptions ++= sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+  .flatMap(_.split("\\s+").filter(_.nonEmpty))

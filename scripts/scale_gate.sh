@@ -22,6 +22,15 @@ TAG="${1:-$(date +%Y%m%d)}"
 BASE=/root/testdata/sf0.1
 mkdir -p bench
 
+# Orphaned Spark scratch from killed JVMs eats the disk headroom g1's
+# diskBound pass needs (~20 GB): the r12 gate's cohort-2 JVM died on a
+# full disk because a previously-killed run had left a 17 GB blockmgr
+# dir behind. The gate runs its JVMs strictly serially, so if no graft
+# JVM is live at start, every scratch dir is an orphan.
+if ! pgrep -f "graft\.(Bench|Verify|CcProbe|DocsDecadeProbe|ScaleUp)" >/dev/null; then
+  rm -rf /tmp/blockmgr-* /tmp/spark-* 2>/dev/null || true
+fi
+
 # --- 0. testdata generation stamp ------------------------------------------
 # The driver regenerates /root/testdata per round; decade numbers are only
 # comparable against replicas derived from the SAME generation (the r7 "t7
@@ -87,8 +96,24 @@ if [ "${SKIP_SF100:-0}" != "1" ]; then
   if [ "$n_reg" -lt 1 ]; then
     echo "[scale_gate] ERROR: Bench --list returned no queries" >&2; exit 1
   fi
-  prev=$(ls -t bench/sf100_cold_*.json 2>/dev/null \
-    | grep -v -e '_stdout' -e '_c[0-9]' | head -1 || true)
+  # Prior artifact = the one the cohort packing derives its bins from.
+  # Selection is by ROUND TAG (r11b > r11 > r10 ...), not mtime: after a
+  # fresh checkout every committed artifact shares the checkout mtime, so
+  # `ls -t` is filesystem-order roulette — the r12 campaign's first gate
+  # attempt picked the ancient sf100_cold_postfix.json and silently
+  # re-binned everything the family-affinity work had just stabilized.
+  # Non-rN tags (postfix, single_pass, date stamps) rank below every rN
+  # and among themselves by mtime. PRIOR=path overrides explicitly.
+  prev="${PRIOR:-$(ls -t bench/sf100_cold_*.json 2>/dev/null \
+    | grep -v -e '_stdout' -e '_c[0-9]' \
+    | python3 -c '
+import re, sys
+def key(p):
+    m = re.search(r"sf100_cold_r(\d+)([a-z]?)\.json$", p)
+    # mtime order (stdin is ls -t) breaks ties among non-rN tags
+    return (1, int(m.group(1)), m.group(2)) if m else (0, 0, "")
+paths = [l.strip() for l in sys.stdin if l.strip()]
+print(max(reversed(paths), key=key) if paths else "")')}"
   echo "[scale_gate] $n_reg registry queries; cohorts from prior ${prev:-<none>}"
   python3 scripts/cohorts.py /tmp/graft_registry_names.txt "${prev:-}" \
     > /tmp/graft_cohorts.txt
@@ -107,9 +132,22 @@ if [ "${SKIP_SF100:-0}" != "1" ]; then
     # (r11: t13 31.9s vs 9.4s scattered). Last in its JVM, the tax is
     # structurally zero — and the env var is a no-op for cohorts that
     # don't contain g1 (VERDICT r11 #2).
+    # CACHEWARM=1 (r12): every historical gate ran minutes after its
+    # session wrote the replicas, i.e. with the dataset page-cache-
+    # resident; this host's COLD buffered reads run 5-20 MB/s (vs GB/s
+    # O_DIRECT), so an accidentally-cold cohort reads 4.5-9x slow with
+    # flat CPU sentinels (r12: d12 solo 457s cold vs 52.8s warm, same
+    # plan). Warming per cohort turns the regime every standing baseline
+    # was actually recorded in into a DECLARED, recorded step
+    # (cachewarm_sec in the sidecar is also the buffered-path sentinel).
+    # NB: comments must stay ABOVE this env-prefix block — a comment line
+    # inside the backslash continuation silently splits the command and
+    # strands the earlier env vars as shell-local assignments (the r12
+    # gate's first cohort benched the DEFAULT testdata dir that way).
     SPARK_GRAFT_SF_DIR="$PWD/scale/sf100" SPARK_GRAFT_BENCH_OUT="$cout" \
     SPARK_GRAFT_BENCH_REPS=1 SPARK_GRAFT_BENCH_WARMUP=0 SPARK_GRAFT_BENCH_DUAL=0 \
-    SPARK_GRAFT_BENCH_PREWARM=1 SPARK_GRAFT_BENCH_RUN_LAST=g1_pagerank \
+    SPARK_GRAFT_BENCH_PREWARM=1 SPARK_GRAFT_BENCH_CACHEWARM=1 \
+    SPARK_GRAFT_BENCH_RUN_LAST=g1_pagerank \
     SPARK_DRIVER_MEM=64g SPARK_GRAFT_SHUFFLE_PARTITIONS=128 \
       sbt -batch "runMain graft.Bench --exact $line" </dev/null 2>/dev/null \
       | grep '"metric"' >> "bench/sf100_cold_${TAG}_stdout.json" || true
