@@ -26,9 +26,30 @@ mkdir -p bench
 # diskBound pass needs (~20 GB): the r12 gate's cohort-2 JVM died on a
 # full disk because a previously-killed run had left a 17 GB blockmgr
 # dir behind. The gate runs its JVMs strictly serially, so if no graft
-# JVM is live at start, every scratch dir is an orphan.
-if ! pgrep -f "graft\.(Bench|Verify|CcProbe|DocsDecadeProbe|ScaleUp)" >/dev/null; then
-  rm -rf /tmp/blockmgr-* /tmp/spark-* 2>/dev/null || true
+# JVM is live at start, every scratch dir is an orphan. The glob must
+# spare /tmp/spark-events — Spark's default event-log dir, which the
+# stage-decomposition probes populate (ADVICE r12).
+sweep_orphans() {
+  if ! pgrep -f "graft\.(Bench|Verify|CcProbe|DocsDecadeProbe|ScaleUp)" >/dev/null; then
+    rm -rf /tmp/blockmgr-* 2>/dev/null || true
+    find /tmp -maxdepth 1 -name 'spark-*' ! -name spark-events \
+      -exec rm -rf {} + 2>/dev/null || true
+  fi
+}
+sweep_orphans
+
+# Disk-headroom preflight (VERDICT r12 #3): the sf100 gate needs ~45 GB
+# free on the scratch device — 15.6 GB replica reads aside, g1's diskBound
+# checkpoints churn ~17-20 GB and shuffle scratch rides on top; r12's
+# cohort-2 JVM died mid-gate on ENOSPC. Refuse to start (after sweeping)
+# rather than die hours in; record free-at-start for the artifact trail.
+FREE_GB=$(df -BG --output=avail /tmp | tail -1 | tr -dc '0-9')
+echo "[scale_gate] scratch device free at start: ${FREE_GB} GB"
+if [ "$FREE_GB" -lt "${MIN_FREE_GB:-45}" ]; then
+  echo "[scale_gate] ERROR: only ${FREE_GB} GB free on /tmp's device;" >&2
+  echo "  the gate needs ~45 GB (g1 diskBound churn + shuffle scratch)." >&2
+  echo "  Free space or override with MIN_FREE_GB." >&2
+  exit 1
 fi
 
 # --- 0. testdata generation stamp ------------------------------------------
@@ -110,10 +131,12 @@ if [ "${SKIP_SF100:-0}" != "1" ]; then
 import re, sys
 def key(p):
     m = re.search(r"sf100_cold_r(\d+)([a-z]?)\.json$", p)
-    # mtime order (stdin is ls -t) breaks ties among non-rN tags
+    # stdin is ls -t (newest first) and max() is first-wins on ties, so
+    # plain max() picks the NEWEST mtime among equal-key non-rN tags;
+    # reversed() inverted that (ADVICE r12)
     return (1, int(m.group(1)), m.group(2)) if m else (0, 0, "")
 paths = [l.strip() for l in sys.stdin if l.strip()]
-print(max(reversed(paths), key=key) if paths else "")')}"
+print(max(paths, key=key) if paths else "")')}"
   echo "[scale_gate] $n_reg registry queries; cohorts from prior ${prev:-<none>}"
   python3 scripts/cohorts.py /tmp/graft_registry_names.txt "${prev:-}" \
     > /tmp/graft_cohorts.txt
@@ -121,7 +144,11 @@ print(max(reversed(paths), key=key) if paths else "")')}"
   while IFS= read -r line; do
     i=$((i+1))
     cout="bench/sf100_cold_${TAG}_c${i}.json"
-    echo "[scale_gate] cohort $i ($(echo "$line" | wc -w) queries) -> $cout"
+    # between-cohort hygiene: a cohort JVM that died leaves its scratch
+    # behind; sweeping only at gate start let r12's cohort 2 inherit a
+    # 17 GB orphan and die on ENOSPC (VERDICT r12 #3)
+    sweep_orphans
+    echo "[scale_gate] cohort $i ($(echo "$line" | wc -w) queries, $(df -BG --output=avail /tmp | tail -1 | tr -dc '0-9') GB free) -> $cout"
     # --exact: cohort lines carry FULL names; prefix matching would run a
     # longer-named query in a shorter name's cohort the day one registry
     # name becomes a prefix of another (ADVICE r10). PREWARM: footers +

@@ -68,6 +68,15 @@ object Bench {
     // duplicate assert would then fail the whole gate spuriously).
     val exact = args.contains("--exact")
     val sel = args.filterNot(_ == "--exact")
+    // --exact with zero names is always a caller bug (a cohort file line
+    // that came back empty), and "empty selection = select all" would
+    // silently bench the ENTIRE registry at whatever sf the caller set —
+    // hours of misattributed work before the merge step catches the
+    // duplicates (ADVICE r12). Fail fast instead.
+    if (exact && sel.isEmpty) {
+      System.err.println("[bench] --exact requires at least one query name")
+      sys.exit(2)
+    }
     val wanted: String => Boolean =
       if (sel.isEmpty) _ => true
       else if (exact) n => sel.contains(n)
@@ -133,6 +142,56 @@ object Bench {
       } catch { case _: Throwable => -1.0 }
     }
     val diskMbps = diskProbe()
+    // Scratch-IO sentinel (r13): the third kind of machine weather. The r12
+    // gate recorded 7-29x slowdowns on shuffle-heavy queries (d1 130s vs
+    // 4.4s, p8 19.7s vs 2.7s) under ALL-GREEN CPU/O_DIRECT/cachewarm
+    // sentinels — none of which observes the path those queries actually
+    // stress: BUFFERED write + fsync + read-back on the spark.local.dir
+    // device, which serves every shuffle block, spill, and localCheckpoint.
+    // Probe: write 64 MiB buffered to a temp file on the scratch device,
+    // fsync, read it back (page-cache-resident read — same regime a
+    // shuffle reader sees for blocks its own JVM just wrote), delete.
+    // 64 MiB, not more: on this host the pathological fsync path runs at
+    // ~7-12 MB/s (measured r13), so a bigger probe costs a minute per
+    // bench while the MB/s reading is size-invariant.
+    // scratch_mbps = total bytes moved / wall time. A degraded dirty-page
+    // writeback path or a contended device shows here while the O_DIRECT
+    // data-device probe stays green. -1.0 = probe unavailable.
+    def scratchProbe(): Double = {
+      try {
+        val dir = new java.io.File(spark.sparkContext.getConf.getOption(
+          "spark.local.dir").getOrElse(System.getProperty("java.io.tmpdir", "/tmp")))
+        val f = java.io.File.createTempFile("graft_scratch_probe", ".bin", dir)
+        try {
+          val chunk = new Array[Byte](4 << 20)
+          var i = 0
+          while (i < chunk.length) { chunk(i) = (i * 31 + 7).toByte; i += 1 }
+          val nChunks = 16 // 64 MiB
+          val t0 = System.nanoTime()
+          val out = new java.io.FileOutputStream(f)
+          try {
+            var w = 0
+            while (w < nChunks) { out.write(chunk); w += 1 }
+            out.getFD.sync()
+          } finally out.close()
+          val ch = java.nio.channels.FileChannel.open(
+            f.toPath, java.nio.file.StandardOpenOption.READ)
+          try {
+            val buf = java.nio.ByteBuffer.allocate(4 << 20)
+            var pos = 0L
+            while (pos < f.length()) {
+              buf.clear()
+              val n = ch.read(buf, pos)
+              if (n <= 0) return -1.0
+              pos += n
+            }
+          } finally ch.close()
+          val moved = 2L * nChunks * chunk.length
+          moved / 1e6 / ((System.nanoTime() - t0) / 1e9) // MB/s
+        } finally { f.delete(); () }
+      } catch { case _: Throwable => -1.0 }
+    }
+    val scratchMbps = scratchProbe()
     // Cohort-JVM prewarm (SPARK_GRAFT_BENCH_PREWARM=1): the sf100 gate
     // runs WARMUP=0 (a second full pass of a 100x dataset costs real
     // minutes), which left each cohort's alphabetically-first query
@@ -226,8 +285,20 @@ object Bench {
           }
         }
         pool.shutdown()
-        pool.awaitTermination(30, java.util.concurrent.TimeUnit.MINUTES)
-        (System.nanoTime() - t0) / 1e9
+        // a truncated warm must be distinguishable from a complete one: on
+        // timeout the artifact would otherwise DECLARE a warm regime that
+        // was never reached while leftover tasks compete with the first
+        // timed queries (ADVICE r12). Negative magnitude = truncated-after
+        // that many seconds; the off sentinel stays exactly -1.0 (a real
+        // warm can never finish in 1.0s at any sf the gate runs).
+        val done = pool.awaitTermination(30, java.util.concurrent.TimeUnit.MINUTES)
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        if (done) elapsed
+        else {
+          pool.shutdownNow()
+          System.err.println(f"[bench] cachewarm TRUNCATED after $elapsed%.1fs")
+          -elapsed
+        }
       }
     try { SparkEntry.entry(spark).count() } catch { case _: Throwable => () }
     // SPARK_GRAFT_BENCH_ACTION=noop drives each query through the noop
@@ -352,6 +423,7 @@ object Bench {
     // started) — start/end probes bracket the run's machine state
     val noopEndSec = noopProbe()
     val diskEndMbps = diskProbe()
+    val scratchEndMbps = scratchProbe()
     // The driver snapshots only the last 2000 chars of stdout and parses the
     // JSON line out of that window; sbt appends a ~75-char "[success]"
     // trailer after it. Full-precision doubles put the full-suite line at
@@ -373,8 +445,13 @@ object Bench {
       val disk =
         if (diskMbps < 0 && diskEndMbps < 0) ""
         else s""","disk_mbps":${fmt(diskMbps, 1)},"disk_end_mbps":${fmt(diskEndMbps, 1)}"""
-      val cw = if (cachewarmSec >= 0) s""","cachewarm_sec":${fmt(cachewarmSec, 3)}""" else ""
-      s""","noop_sec":${fmt(noopSec, 3)},"noop_end_sec":${fmt(noopEndSec, 3)}$pre$disk$cw"""
+      val scratch =
+        if (scratchMbps < 0 && scratchEndMbps < 0) ""
+        else s""","scratch_mbps":${fmt(scratchMbps, 1)},"scratch_end_mbps":${fmt(scratchEndMbps, 1)}"""
+      // negative-but-not--1.0 cachewarm = TRUNCATED warm (see above) and
+      // must ride the artifact; only the exact off sentinel is omitted
+      val cw = if (cachewarmSec != -1.0) s""","cachewarm_sec":${"%.3f".format(cachewarmSec)}""" else ""
+      s""","noop_sec":${fmt(noopSec, 3)},"noop_end_sec":${fmt(noopEndSec, 3)}$pre$disk$scratch$cw"""
     }
     // failures ride every artifact tier verbatim — names, not sentinels,
     // are what a later reader greps for

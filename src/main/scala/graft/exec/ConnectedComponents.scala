@@ -104,7 +104,7 @@ object ConnectedComponents {
     * (components()'s dispatch count, the probes' closed forms) passes
     * the count and skips it.
     */
-  private def countIfUnknown(edges: DataFrame, knownEdges: Long): Long =
+  private[exec] def countIfUnknown(edges: DataFrame, knownEdges: Long): Long =
     if (knownEdges >= 0) knownEdges else edges.count()
 
   /** Per-round shuffle-scratch reclamation (VERDICT r11 #3), mirroring

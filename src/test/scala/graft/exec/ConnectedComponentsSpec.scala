@@ -238,6 +238,22 @@ class ConnectedComponentsSpec extends SparkTestBase {
       == StorageLevel.MEMORY_AND_DISK_SER)
   }
 
+  test("unknown edge count is COUNTED for the level decision, not seeded -1 (ADVICE r11 pin)") {
+    // minLabelImpl computes lvl = ckptLevel(countIfUnknown(fwd, knownEdges));
+    // before the r12 fix the -1 default flowed straight into ckptLevel and
+    // the 2|edges| bidir frame checkpointed DESERIALIZED at any size — the
+    // exact 198M-edge OOM mode. Pin the composition on a frame whose real
+    // count sits past the threshold while the caller claims not to know it:
+    // the unknown path must count and turn serialized.
+    import org.apache.spark.storage.StorageLevel
+    val big = spark.range(ConnectedComponents.SerCkptEdgeThreshold + 1)
+      .selectExpr("id as src", "id as dst")
+    assert(ConnectedComponents.ckptLevel(
+      ConnectedComponents.countIfUnknown(big, -1)) == StorageLevel.MEMORY_AND_DISK_SER)
+    // and a caller-known count short-circuits (no job runs): known wins
+    assert(ConnectedComponents.countIfUnknown(big, 7L) == 7L)
+  }
+
   test("shuffle-hash hint gates off past the per-task build-row bound (ADVICE r10)") {
     // the SHJ build side cannot spill: above MaxHashBuildRowsPerTask
     // estimated rows per partition the iteration joins must fall back to
