@@ -176,7 +176,8 @@ print(max(paths, key=key) if paths else "")')}"
     SPARK_GRAFT_BENCH_PREWARM=1 SPARK_GRAFT_BENCH_CACHEWARM=1 \
     SPARK_GRAFT_BENCH_RUN_LAST=g1_pagerank \
     SPARK_DRIVER_MEM=64g SPARK_GRAFT_SHUFFLE_PARTITIONS=128 \
-      sbt -batch "runMain graft.Bench --exact $line" </dev/null 2>/dev/null \
+      sbt -batch "runMain graft.Bench --exact $line" </dev/null \
+        2>"/tmp/gate_${TAG}_c${i}.err" \
       | grep '"metric"' >> "bench/sf100_cold_${TAG}_stdout.json" || true
     if [ ! -f "$cout" ]; then
       echo "[scale_gate] ERROR: cohort $i wrote no sidecar (bench JVM died?)" >&2

@@ -61,6 +61,16 @@ object GraftSession {
           "org.apache.spark.serializer.JavaSerializer"
         else "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
+      // Stall tolerance (r13): the sf100 gate's cohort-2 JVM died when a
+      // 144 s whole-JVM stall (STW GC / hypervisor steal during g1's
+      // diskBound churn, under the host's pathological buffered-writeback
+      // path) tripped HeartbeatReceiver's 120 s default — which in local
+      // mode removes the only executor and tears down the SparkContext
+      // mid-suite. 10 min tolerates any plausible stall; on a real
+      // cluster the same setting is the standard large-heap guidance
+      // (a reaped executor there costs recompute, here it costs the run).
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "30s")
 
   /** Local session for tests / Verify / Bench. */
   def local(appName: String): SparkSession = {
