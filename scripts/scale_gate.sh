@@ -44,6 +44,12 @@ sweep_orphans
 # cohort-2 JVM died mid-gate on ENOSPC. Refuse to start (after sweeping)
 # rather than die hours in; record free-at-start for the artifact trail.
 FREE_GB=$(df -BG --output=avail /tmp | tail -1 | tr -dc '0-9')
+# an empty reading (unsupported --output, odd mount) must be a hard error,
+# not a silently-passing '[ "" -lt 45 ]' shell error (ADVICE r13)
+if [ -z "$FREE_GB" ]; then
+  echo "[scale_gate] ERROR: disk-headroom preflight unavailable (df gave no reading)" >&2
+  exit 1
+fi
 echo "[scale_gate] scratch device free at start: ${FREE_GB} GB"
 if [ "$FREE_GB" -lt "${MIN_FREE_GB:-45}" ]; then
   echo "[scale_gate] ERROR: only ${FREE_GB} GB free on /tmp's device;" >&2
@@ -51,6 +57,45 @@ if [ "$FREE_GB" -lt "${MIN_FREE_GB:-45}" ]; then
   echo "  Free space or override with MIN_FREE_GB." >&2
   exit 1
 fi
+
+# Weather preflight (VERDICT r13 #3): the buffered write+fsync path on the
+# scratch device is what every shuffle block / spill / checkpoint rides;
+# this host's pathological regime runs it at single-digit MB/s (vs
+# ~600 MB/s O_DIRECT on the same device) and made the r12/r13 gates record
+# 7-29x readings on correct plans. Refuse to START a cohort while the
+# regime is degraded: probe with a 64 MiB dd+fsync, retry with backoff up
+# to WEATHER_RETRIES (default 10 x 120 s), then proceed WITH a loud
+# warning — the in-artifact per-query timeline (+ mini probes) brackets
+# whatever weather remains, and an outright abort could starve a round on
+# a chronically slow host. Floor default 50 MB/s (healthy readings are
+# 100x that; storms are <25).
+scratch_mbps() {
+  local f=/tmp/.gate_scratch_probe.$$ out
+  out=$(LC_ALL=C dd if=/dev/zero of="$f" bs=4M count=16 conv=fsync 2>&1 | tail -1)
+  rm -f "$f"
+  case "$out" in
+    *MB/s*) echo "$out" | sed 's/.*, *//; s/ MB\/s.*//' ;;
+    *GB/s*) echo "$out" | sed 's/.*, *//; s/ GB\/s.*//' \
+              | awk '{printf "%.1f", $1 * 1000}' ;;
+    *) echo "" ;;
+  esac
+}
+wait_for_weather() {
+  local floor="${SCRATCH_FLOOR_MBPS:-50}" tries="${WEATHER_RETRIES:-10}" i mbps
+  for i in $(seq 1 "$tries"); do
+    mbps=$(scratch_mbps)
+    if [ -z "$mbps" ]; then
+      echo "[scale_gate] weather probe unavailable; proceeding" >&2; return 0
+    fi
+    if awk -v m="$mbps" -v f="$floor" 'BEGIN{exit !(m >= f)}'; then
+      echo "[scale_gate] scratch weather ok: ${mbps} MB/s (floor ${floor})"
+      return 0
+    fi
+    echo "[scale_gate] scratch degraded: ${mbps} MB/s < ${floor} MB/s floor; wait $i/$tries (120 s)" >&2
+    sleep 120
+  done
+  echo "[scale_gate] WARNING: scratch still degraded after $tries waits (${mbps} MB/s) — proceeding; per-query timeline will bracket it" >&2
+}
 
 # --- 0. testdata generation stamp ------------------------------------------
 # The driver regenerates /root/testdata per round; decade numbers are only
@@ -148,6 +193,7 @@ print(max(paths, key=key) if paths else "")')}"
     # behind; sweeping only at gate start let r12's cohort 2 inherit a
     # 17 GB orphan and die on ENOSPC (VERDICT r12 #3)
     sweep_orphans
+    wait_for_weather
     echo "[scale_gate] cohort $i ($(echo "$line" | wc -w) queries, $(df -BG --output=avail /tmp | tail -1 | tr -dc '0-9') GB free) -> $cout"
     # --exact: cohort lines carry FULL names; prefix matching would run a
     # longer-named query in a shorter name's cohort the day one registry
@@ -174,7 +220,7 @@ print(max(paths, key=key) if paths else "")')}"
     SPARK_GRAFT_SF_DIR="$PWD/scale/sf100" SPARK_GRAFT_BENCH_OUT="$cout" \
     SPARK_GRAFT_BENCH_REPS=1 SPARK_GRAFT_BENCH_WARMUP=0 SPARK_GRAFT_BENCH_DUAL=0 \
     SPARK_GRAFT_BENCH_PREWARM=1 SPARK_GRAFT_BENCH_CACHEWARM=1 \
-    SPARK_GRAFT_BENCH_RUN_LAST=g1_pagerank \
+    SPARK_GRAFT_BENCH_RUN_LAST=g1_pagerank SPARK_GRAFT_BENCH_MINIPROBE=1 \
     SPARK_DRIVER_MEM=64g SPARK_GRAFT_SHUFFLE_PARTITIONS=128 \
       sbt -batch "runMain graft.Bench --exact $line" </dev/null \
         2>"/tmp/gate_${TAG}_c${i}.err" \

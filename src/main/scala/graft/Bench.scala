@@ -157,16 +157,19 @@ object Bench {
     // scratch_mbps = total bytes moved / wall time. A degraded dirty-page
     // writeback path or a contended device shows here while the O_DIRECT
     // data-device probe stays green. -1.0 = probe unavailable.
-    def scratchProbe(): Double = {
+    def scratchProbe(nChunks: Int = 16): Double = {
       try {
+        // spark.local.dir may be a comma-separated list (ADVICE r13): the
+        // probe observes the FIRST entry — representative, and never -1.0
+        // on exactly the multi-dir configurations it was built to watch
         val dir = new java.io.File(spark.sparkContext.getConf.getOption(
-          "spark.local.dir").getOrElse(System.getProperty("java.io.tmpdir", "/tmp")))
+          "spark.local.dir").getOrElse(System.getProperty("java.io.tmpdir", "/tmp"))
+          .split(",").head.trim)
         val f = java.io.File.createTempFile("graft_scratch_probe", ".bin", dir)
         try {
           val chunk = new Array[Byte](4 << 20)
           var i = 0
           while (i < chunk.length) { chunk(i) = (i * 31 + 7).toByte; i += 1 }
-          val nChunks = 16 // 64 MiB
           val t0 = System.nanoTime()
           val out = new java.io.FileOutputStream(f)
           try {
@@ -381,10 +384,23 @@ object Bench {
     // suite run). An explicit GC between queries reclaims what is already
     // garbage; each timed rep still pays its own checkpoint builds.
     def reclaimDeadBlocks(): Unit = { System.gc(); Thread.sleep(50) }
+    // Per-query wall-clock timeline (VERDICT r13 #3): the r13 gate proved
+    // the scratch regime can FLIP mid-cohort (cohort 4: 641.4 -> 5.8 MB/s),
+    // so start/end sentinel brackets cannot say WHICH query ran degraded.
+    // Epoch timestamps per query (zero cost, sidecar only) localize a storm
+    // window to specific queries after the fact;
+    // SPARK_GRAFT_BENCH_MINIPROBE=1 additionally runs a 4 MiB scratch probe
+    // AFTER each query (~8 MiB moved — sub-second healthy, ~1 s degraded)
+    // so the regime each query finished under is in the artifact itself.
+    val miniProbe = sys.env.get("SPARK_GRAFT_BENCH_MINIPROBE").contains("1")
+    val timeline = collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
     val results = ordered.map { case (name, fn) =>
       reclaimDeadBlocks()
       val before = if (detail) { Thread.sleep(200); listener.snapshot } else (0L, 0L, 0L)
+      val tq0 = System.currentTimeMillis() / 1000.0
       val runs = Seq.fill(reps)(timeOnce(name, fn))
+      val tq1 = System.currentTimeMillis() / 1000.0
+      timeline(name) = (tq0, tq1, if (miniProbe) scratchProbe(1) else -1.0)
       if (detail) {
         Thread.sleep(200) // let the listener bus drain (async delivery)
         val after = listener.snapshot
@@ -510,8 +526,14 @@ object Bench {
         .mkString(""","noop_queries":{""", ",", "}")
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // sidecar-only: per-query epoch window (+ optional post-query scratch
+    // reading) — the driver's parser never sees this key
+    val timelineJson = timeline.map { case (k, (a, b, m)) =>
+      val mini = if (m >= 0) s""","scratch_mbps":${"%.1f".format(m)}""" else ""
+      s""""$k":{"t0":${"%.3f".format(a)},"t1":${"%.3f".format(b)}$mini}"""
+    }.mkString(""","timeline":{""", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec"$sentinelJson$failedJson,"queries":$qsFull$noopJson$detailJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec"$sentinelJson$failedJson,"queries":$qsFull$noopJson$detailJson$timelineJson,"sf":"$sfDir"}"""
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/bench_last.json")
     try {
       val p = java.nio.file.Paths.get(sidecar)

@@ -34,7 +34,11 @@ final case class CompileCtx(
   *    (etl/target/c3dc_etl.py:1113-1118)
   *  - default substitution on blank source (etl/target/c3dc_etl.py:1291-1293)
   *  - allowed-value gating: exact-match against literal old_values, skipped
-  *    for macro mappings (etl/target/c3dc_etl.py:1189-1219,1295-1322)
+  *    for macro mappings; compound-source mappings gate on their DEFAULT
+  *    (the reference probes `source_record.get('[a, b]')`, which always
+  *    misses, so the defaulted value is what faces the allowed set — live
+  *    configs pass because the default is in the output enum)
+  *    (etl/target/c3dc_etl.py:1189-1219,1295-1322)
   *  - output conversion: enum canonicalization by casefold, ';'-split arrays,
   *    numeric gate + round (etl/target/c3dc_etl.py:684-764,1330-1349)
   *
@@ -192,6 +196,10 @@ final class MappingCompiler(schema: C3dcSchema) {
     * literal old_values + enum default; all enum codes when a wildcard
     * {find_enum_value} entry exists; macro mappings and literal sources
     * exempt. Not-allowed → field skipped (NULL). '' ≈ NULL (:1216-1217).
+    * Compound-source mappings are NOT exempt: the reference resolves their
+    * probe value via `source_record.get('[a, b]')` — a key that never
+    * exists — so the probe is the mapping DEFAULT (or null), making the
+    * gate a plan-time constant that Catalyst folds away.
     * Deviation: the reference probes with EXACT equality while its rule
     * matching casefolds — an internal inconsistency that is unobservable on
     * committed configs (old_values are authored in data casing); we probe
@@ -226,7 +234,7 @@ final class MappingCompiler(schema: C3dcSchema) {
       case ReplacementValue.Scalar(s) => s.trim.startsWith("{") && s.trim.endsWith("}")
       case _ => false
     })
-    if (isMacroMapping || m.isStringLiteralSource || m.sourceFields.length > 1) return None
+    if (isMacroMapping || m.isStringLiteralSource) return None
     val prop = schema.prop(m.outputField)
     var allowed: Set[String] = m.replacements.collect {
       case Replacement(o, nv) if o != null && o != "*" && o != "+" && joined(nv).nonEmpty => o

@@ -119,20 +119,28 @@ object EtlRunner {
           .option("header", true).csv(s"${config.outDir}/gate_rejections_${x.name}")
       }
 
-    // merged output: first-occurrence-wins across transformations (A7/K2)
-    // + duplicate report (K3)
+    // merged output (A7/K2/K3, reference _create_merged_json_etl_file):
+    // participants keep ONE record per id — first transformation wins
+    // whole — while observation nodes dedupe on (content, participant)
+    // so identical observations are suppressed only WITHIN a participant,
+    // never across participants (reference get_cache_key includes the
+    // participant id). Other nodes (study, reference_file) dedupe on
+    // content alone.
     val nodeNames = perXform.flatMap(_._2.keys).distinct
     var duplicates = 0L
     val merged: Map[String, DataFrame] = nodeNames.map { n =>
       val frames = perXform.zipWithIndex.collect {
         case ((x, nodes), i) if nodes.contains(n) => (x.name, i, nodes(n))
       }
-      val pidCol =
-        if (n == "participant") Some("participant_id")
-        else if (frames.exists(_._3.columns.contains("participant.participant_id")))
-          Some("participant.participant_id")
-        else None
-      val (deduped, report) = Deduper.dedupe(n, frames, pidCol)
+      val (deduped, report) =
+        if (n == "participant") Deduper.dedupeById(n, frames, "participant_id")
+        else {
+          val pidCol =
+            if (frames.exists(_._3.columns.contains("participant.participant_id")))
+              Some("participant.participant_id")
+            else None
+          Deduper.dedupe(n, frames, pidCol)
+        }
       val rep = report.withColumn("transformations",
         array_join(col("transformations"), ";"))
       duplicates += rep.count()

@@ -145,4 +145,44 @@ object Deduper {
       .drop("__key")
     (deduped, report)
   }
+
+  /** Merged-output PARTICIPANT semantics (reference
+    * `_create_merged_json_etl_file`, etl/target/c3dc_etl.py:2180-2187 with
+    * :1971-2046): ONE record per participant id across transformations —
+    * the first transformation's record wins WHOLE; later transformations
+    * contribute only their non-duplicate observations (which ride the
+    * observation frames through [[dedupe]]), never a rewritten participant
+    * record. Content plays no part in this key, unlike [[dedupe]]: two
+    * files describing the same id with different field values still merge
+    * to the first file's record.
+    *
+    * Same map-side-combining `min(struct)` aggregate shape as [[dedupe]] —
+    * at 100 TB the shuffle carries one candidate per id per map partition.
+    * The report lists ids contributed by more than one transformation (the
+    * reference logs these as merge updates; this engine reports them).
+    */
+  def dedupeById(
+      node: String,
+      frames: Seq[(String, Int, DataFrame)],
+      idCol: String): (DataFrame, DataFrame) = {
+    require(frames.nonEmpty)
+    val tagged = frames.map { case (name, order, df) =>
+      df.withColumn("__xform", lit(name)).withColumn("__xorder", lit(order))
+    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    val recordCols = tagged.columns.filterNot(_.startsWith("__")).toIndexedSeq
+    val id = col("`" + idCol + "`").cast("string")
+    val rec = struct(recordCols.map(n => col("`" + n + "`").as(n)): _*)
+    val deduped = tagged
+      .groupBy(id.as("__id"))
+      .agg(min(struct(col("__xorder"), col("__xform"), rec.as("rec"))).as("__top"))
+      .select(recordCols.map(n => col("__top").getField("rec").getField(n).as(n)): _*)
+    val report = tagged
+      .groupBy(id.as("participant_id"))
+      .agg(
+        lit(node).as("node"),
+        count(lit(1)).as("occurrences"),
+        sort_array(collect_set(col("__xform"))).as("transformations"))
+      .filter(col("occurrences") > 1)
+    (deduped, report)
+  }
 }

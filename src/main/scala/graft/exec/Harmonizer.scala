@@ -41,6 +41,21 @@ final class Harmonizer(schema: C3dcSchema, xform: Transformation) {
         && m.sourceFields.length == 1)
       .map(_.sourceField)
 
+  /** Structural observation backpointer (reference etl/target/c3dc_etl.py:
+    * 1578-1583, etl/ccdi/c3dc_etl.py:1457-1462): every observation record
+    * carries `participant.participant_id` — the participant id harmonized
+    * from the SAME source row — set by the ENGINE, not by a mapping. The
+    * participant id expression is compiled with the participant node's own
+    * row key, so `{uuid}`-derived participant ids backlink identically.
+    */
+  private def participantBackpointer(rowKey: Column): Option[Column] =
+    if (!xform.nodeTypes.contains("participant")) None
+    else {
+      val pKey = sourceIdField("participant")
+        .map(f => col("`" + f + "`").cast("string")).getOrElse(rowKey)
+      builder.compiledProperty("participant", "participant_id", pKey)
+    }
+
   def buildNode(node: String, source: DataFrame, rowKey: Column): DataFrame = {
     if (isSingleton(node)) {
       // study / consent_group: constants built once per transformation
@@ -58,7 +73,14 @@ final class Harmonizer(schema: C3dcSchema, xform: Transformation) {
     // exploded rows must also derive a distinct row key: reuse the (suffixed)
     // source id field when available, else the raw row key
     val key = idField.map(f => col("`" + f + "`").cast("string")).getOrElse(rowKey)
-    builder.build(node, exploded, key)
+    // engine-set backpointer, unless the transformation maps it itself
+    val pass: Seq[(String, Column)] =
+      if (GraphLinker.ObservationNodes.contains(node)
+          && !xform.mappingsFor(node).exists(_.property == "participant.participant_id"))
+        participantBackpointer(rowKey)
+          .map(c => "participant.participant_id" -> c).toSeq
+      else Nil
+    builder.build(node, exploded, key, pass)
   }
 
   /** Build every node type in the transformation and link the graph

@@ -100,6 +100,27 @@ final class NodeBuilder(schema: C3dcSchema, xform: Transformation) {
     frames.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
+  /** Compiled value of one of `node`'s properties against a source row —
+    * the same gate-aware assignment fold [[build]] uses — for structural
+    * passthrough columns (the observation backpointer). Uses the first
+    * type group that maps the property; None when nothing maps it.
+    */
+  def compiledProperty(node: String, prop: String, rowKey: Column): Option[Column] =
+    TypeGroups.collate(xform.mappingsFor(node)).collectFirst {
+      case (gi, ms) if ms.exists(_.property == prop) =>
+        val chain = ms.filter(_.property == prop)
+        def compiled(m: Mapping): Column = {
+          val ctx = CompileCtx(xform.uuidSeed, node, gi, rowKey, ordinals.getOrElse(m, 0))
+          compiler.compile(m, ctx)
+        }
+        chain.tail.foldLeft(compiled(chain.head)) { (acc, m) =>
+          compiler.gateAdmitted(m) match {
+            case None      => compiled(m)
+            case Some(adm) => when(adm, compiled(m)).otherwise(acc)
+          }
+        }
+    }
+
   /** Required values must be non-blank; arrays non-empty with at least one
     * non-blank element (reference etl/target/c3dc_etl.py:1358-1366).
     */

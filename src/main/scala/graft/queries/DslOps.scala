@@ -41,7 +41,9 @@ object DslOps {
     }},
     "orderinfo": {"type": "object", "required": ["order_id"], "properties": {
       "order_id": {"type": "string"},
-      "urgency": {"type": "string"}
+      "urgency": {"type": "string"},
+      "urgency_class": {"type": "string",
+        "enum": ["closed-urgent", "open-live", "pending", "other"]}
     }}
   }}"""
 
@@ -167,15 +169,20 @@ object DslOps {
       (s, dir) => {
         val xform = """{"name": "x2", "uuid_seed": "s", "mappings": [
           {"output_field": "orderinfo.order_id", "source_field": "o_orderkey"},
-          {"output_field": "orderinfo.urgency",
+          {"output_field": "orderinfo.urgency_class",
            "source_field": "[o_orderstatus, o_orderpriority]",
+           "default_value": "other",
            "replacement_values": [
              {"old_value": "F;1-URGENT", "new_value": "closed-urgent"},
              {"old_value": "O;+", "new_value": "open-live"},
              {"old_value": "P;*", "new_value": "pending"},
              {"old_value": "*", "new_value": "other"}]}
         ]}"""
+        // enum output + in-enum default: the P5 gate probes a compound
+        // mapping's DEFAULT (reference semantics — the '[a, b]' record key
+        // never exists), so live compound chains need the default allowed
         build(s, xform, "orderinfo", t(s, dir, "orders"), col("o_orderkey").cast("string"))
+          .withColumnRenamed("urgency_class", "urgency")
       },
       Some("""SELECT o_orderkey::VARCHAR AS order_id,
            CASE WHEN lower(trim(o_orderstatus)) = 'f'

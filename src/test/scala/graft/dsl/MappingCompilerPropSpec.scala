@@ -289,11 +289,13 @@ class MappingCompilerPropSpec extends SparkTestBase {
           else loop(rest)
       }
       val value = loop(chain).orElse(srcWithDefault)
-      // P5 gate: macro mappings and compound sources exempt
+      // P5 gate: macro mappings exempt; compound sources gate on their
+      // DEFAULT (the reference probes the never-present '[a, b]' record
+      // key — srcWithDefault above already models that miss)
       val isMacroMapping = chain.exists { case (_, n) =>
         n.trim.startsWith("{") && n.trim.endsWith("}") }
       val gated: Option[String] =
-        if (isMacroMapping || nf > 1) value
+        if (isMacroMapping) value
         else {
           var allowed = chain.collect {
             case (o, n) if o != "*" && o != "+" && n.nonEmpty => o }.toSet
