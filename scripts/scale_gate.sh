@@ -81,20 +81,24 @@ scratch_mbps() {
   esac
 }
 wait_for_weather() {
-  local floor="${SCRATCH_FLOOR_MBPS:-50}" tries="${WEATHER_RETRIES:-10}" i mbps
+  # median of 3 probes: the regime FLICKERS at seconds granularity (r14
+  # shell sweep: the same 4M-block probe read 8.8 and 76.9 MB/s three
+  # minutes apart) — a single reading is a sample, not a state
+  local floor="${SCRATCH_FLOOR_MBPS:-50}" tries="${WEATHER_RETRIES:-10}" i m1 m2 m3 med
   for i in $(seq 1 "$tries"); do
-    mbps=$(scratch_mbps)
-    if [ -z "$mbps" ]; then
+    m1=$(scratch_mbps); m2=$(scratch_mbps); m3=$(scratch_mbps)
+    if [ -z "$m1" ] || [ -z "$m2" ] || [ -z "$m3" ]; then
       echo "[scale_gate] weather probe unavailable; proceeding" >&2; return 0
     fi
-    if awk -v m="$mbps" -v f="$floor" 'BEGIN{exit !(m >= f)}'; then
-      echo "[scale_gate] scratch weather ok: ${mbps} MB/s (floor ${floor})"
+    med=$(printf '%s\n%s\n%s\n' "$m1" "$m2" "$m3" | sort -g | sed -n 2p)
+    if awk -v m="$med" -v f="$floor" 'BEGIN{exit !(m >= f)}'; then
+      echo "[scale_gate] scratch weather ok: median ${med} MB/s of [$m1 $m2 $m3] (floor ${floor})"
       return 0
     fi
-    echo "[scale_gate] scratch degraded: ${mbps} MB/s < ${floor} MB/s floor; wait $i/$tries (120 s)" >&2
+    echo "[scale_gate] scratch degraded: median ${med} MB/s of [$m1 $m2 $m3] < ${floor}; wait $i/$tries (120 s)" >&2
     sleep 120
   done
-  echo "[scale_gate] WARNING: scratch still degraded after $tries waits (${mbps} MB/s) — proceeding; per-query timeline will bracket it" >&2
+  echo "[scale_gate] WARNING: scratch still degraded after $tries waits (median ${med} MB/s) — proceeding; per-query timeline will bracket it" >&2
 }
 
 # --- 0. testdata generation stamp ------------------------------------------
