@@ -1,10 +1,10 @@
 #!/usr/bin/env bash
 # Round-14 campaign (VERDICT r13 demands, in dependency order):
-#   1. Docs decade probe (carried since r11; replica self-checks via the
-#      probe's pair-count invariant, and is stamped + rebuilt on mismatch).
-#      Runs FIRST because the CC leg deletes the replica for headroom —
-#      the backing store is thin-provisioned and avail is volatile.
-#   2. CC 400M-edge probe (same carry — VERDICT r13 #1).
+#   1. CC 400M-edge probe (carried since r11 — VERDICT r13 #1). Runs
+#      first: it frees the rebuildable decade replica for headroom on
+#      this thin-provisioned, volatile-avail backing store.
+#   2. Docs decade probe (same carry; rebuilds + stamps the replica,
+#      96g heap after the first attempt died ENOSPC spilling at 64g).
 #   3. Direct solo probes of the six storm-tail sf100 queries the r13 gate
 #      recorded at 2.3-25.8x r11b without direct attribution (VERDICT #2):
 #      d5, d9, d4, d6, a7 — fresh prewarmed+cachewarmed JVM each, all four
@@ -55,13 +55,35 @@ wait_for_weather() { # floor retries
   echo "[r14] WARNING proceeding under degraded weather (median ${med})" >&2
 }
 
-# --- 1. docs decade probe (FIRST: needs the replica the CC leg deletes) ------
-# The replica (scale/docs_decade) may predate this generation: the probe's
-# pair-count invariant catches a stale one loudly; on that failure rebuild
-# once from the current sf100 and retry. Stamp on success.
+# --- 1. CC 400M probe --------------------------------------------------------
+# ~32 GB peak scratch at the claimed bounded-by-one-round behavior; the
+# backing store is thin-provisioned and volatile, so free the decade
+# replica (rebuildable) first and refuse below 34 GB.
+if [ ! -s bench/cc_probe_400m_r14.json ]; then
+  rm -rf scale/docs_decade scale/sf10   # rebuildable replicas; CC needs the headroom
+  FREE_GB=$(df -BG --output=avail /tmp | tail -1 | tr -dc '0-9')
+  if [ -z "$FREE_GB" ] || [ "$FREE_GB" -lt 34 ]; then
+    echo "[r14] ERROR: ${FREE_GB:-?} GB free < 34 GB needed for CC 400M" >&2; exit 1
+  fi
+  sweep; wait_for_weather "${SCRATCH_FLOOR_MBPS:-25}" 3
+  echo "[r14] $(date +%H:%M:%S) CC 400M probe" >&2
+  SPARK_DRIVER_MEM=64g SPARK_GRAFT_SHUFFLE_PARTITIONS=256 \
+    sbt -batch "runMain graft.CcProbe 4000000 100 star diskbound" \
+    > /tmp/r14_cc400m.log 2>&1
+  grep '"metric":"cc_probe"' /tmp/r14_cc400m.log > bench/cc_probe_400m_r14.json \
+    || { echo "[r14] ERROR CC probe no metric (see /tmp/r14_cc400m.log)" >&2; exit 1; }
+  cat bench/cc_probe_400m_r14.json >&2
+fi
+
+# --- 2. docs decade probe ----------------------------------------------------
+# Runs AFTER the CC leg (both need most of the volatile thin-provisioned
+# store; CC deletes the replica, this leg rebuilds it). First r14 attempt
+# died ENOSPC 58 min in with ~29 GB free: the 10x d2's checkpointed
+# signature blocks spill past that. Mitigations: 96g driver heap so
+# MEMORY_AND_DISK_SER blocks mostly stay resident, and a fresh preflight.
 run_decade() {
   sweep
-  SPARK_DRIVER_MEM=64g SPARK_GRAFT_SHUFFLE_PARTITIONS=256 \
+  SPARK_DRIVER_MEM=96g SPARK_GRAFT_SHUFFLE_PARTITIONS=256 \
     sbt -batch "runMain graft.DocsDecadeProbe $PWD/scale/sf100 $PWD/scale/docs_decade 10" \
     > /tmp/r14_docs_decade.log 2>&1
   grep '"metric":"docs_decade_probe"' /tmp/r14_docs_decade.log \
@@ -88,26 +110,6 @@ if [ ! -s bench/docs_decade_d2_r14.json ]; then
     || { echo "[r14] ERROR decade probe wrote no metric" >&2; exit 1; }
   echo "$GEN" > scale/docs_decade/GENERATION
   cat bench/docs_decade_d2_r14.json >&2
-fi
-
-# --- 2. CC 400M probe --------------------------------------------------------
-# ~32 GB peak scratch at the claimed bounded-by-one-round behavior; the
-# backing store is thin-provisioned and volatile, so free the decade
-# replica (rebuildable) first and refuse below 34 GB.
-if [ ! -s bench/cc_probe_400m_r14.json ]; then
-  rm -rf scale/docs_decade scale/sf10   # rebuildable replicas; CC needs the headroom
-  FREE_GB=$(df -BG --output=avail /tmp | tail -1 | tr -dc '0-9')
-  if [ -z "$FREE_GB" ] || [ "$FREE_GB" -lt 34 ]; then
-    echo "[r14] ERROR: ${FREE_GB:-?} GB free < 34 GB needed for CC 400M" >&2; exit 1
-  fi
-  sweep; wait_for_weather "${SCRATCH_FLOOR_MBPS:-25}" 3
-  echo "[r14] $(date +%H:%M:%S) CC 400M probe" >&2
-  SPARK_DRIVER_MEM=64g SPARK_GRAFT_SHUFFLE_PARTITIONS=256 \
-    sbt -batch "runMain graft.CcProbe 4000000 100 star diskbound" \
-    > /tmp/r14_cc400m.log 2>&1
-  grep '"metric":"cc_probe"' /tmp/r14_cc400m.log > bench/cc_probe_400m_r14.json \
-    || { echo "[r14] ERROR CC probe no metric (see /tmp/r14_cc400m.log)" >&2; exit 1; }
-  cat bench/cc_probe_400m_r14.json >&2
 fi
 
 # --- 3. solo attribution probes for the storm-tail five ----------------------
