@@ -73,12 +73,14 @@ scratch_mbps() {
   local f=/tmp/.gate_scratch_probe.$$ out
   out=$(LC_ALL=C dd if=/dev/zero of="$f" bs=4M count=16 conv=fsync 2>&1 | tail -1)
   rm -f "$f"
-  case "$out" in
-    *MB/s*) echo "$out" | sed 's/.*, *//; s/ MB\/s.*//' ;;
-    *GB/s*) echo "$out" | sed 's/.*, *//; s/ GB\/s.*//' \
-              | awk '{printf "%.1f", $1 * 1000}' ;;
-    *) echo "" ;;
-  esac
+  # compute MB/s from dd's byte count and elapsed seconds instead of
+  # parsing the human-readable unit: in the worst storms (<~1 MB/s)
+  # coreutils dd prints kB/s or B/s, a unit-parse miss returned "", and
+  # wait_for_weather treated the probe as unavailable — silently OPENING
+  # the gate during exactly the weather it exists to block (ADVICE r14)
+  echo "$out" | LC_ALL=C awk -F', ' '/bytes/ && / copied/ {
+    b = $1 + 0; t = $(NF-1) + 0
+    if (t > 0) printf "%.1f", b / t / 1000000 }'
 }
 wait_for_weather() {
   # median of 3 probes: the regime FLICKERS at seconds granularity (r14

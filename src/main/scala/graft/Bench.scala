@@ -451,8 +451,11 @@ object Bench {
     // (10 ms resolution is still far below round-over-round noise).
     // Full-precision timings plus the noop/detail payloads go to a sidecar
     // file for the repo's own decade tooling.
+    // Locale.ROOT: a JVM defaulting to a comma-decimal locale would turn
+    // every %.Nf into "1,234" and the artifact into invalid JSON
     def fmt(v: Double, dec: Int): String =
-      if (v == -1.0) "-1.0" else s"%.${dec}f".format(v)
+      if (v == -1.0) "-1.0"
+      else String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
     // sentinel + prewarm ride EVERY artifact tier (compact stdout line
     // AND sidecar): the whole point is deciding tide-vs-regression from
     // whichever artifact a reader has in hand
@@ -466,7 +469,7 @@ object Bench {
         else s""","scratch_mbps":${fmt(scratchMbps, 1)},"scratch_end_mbps":${fmt(scratchEndMbps, 1)}"""
       // negative-but-not--1.0 cachewarm = TRUNCATED warm (see above) and
       // must ride the artifact; only the exact off sentinel is omitted
-      val cw = if (cachewarmSec != -1.0) s""","cachewarm_sec":${"%.3f".format(cachewarmSec)}""" else ""
+      val cw = if (cachewarmSec != -1.0) s""","cachewarm_sec":${fmt(cachewarmSec, 3)}""" else ""
       s""","noop_sec":${fmt(noopSec, 3)},"noop_end_sec":${fmt(noopEndSec, 3)}$pre$disk$scratch$cw"""
     }
     // failures ride every artifact tier verbatim — names, not sentinels,
@@ -529,8 +532,8 @@ object Bench {
     // sidecar-only: per-query epoch window (+ optional post-query scratch
     // reading) — the driver's parser never sees this key
     val timelineJson = timeline.map { case (k, (a, b, m)) =>
-      val mini = if (m >= 0) s""","scratch_mbps":${"%.1f".format(m)}""" else ""
-      s""""$k":{"t0":${"%.3f".format(a)},"t1":${"%.3f".format(b)}$mini}"""
+      val mini = if (m >= 0) s""","scratch_mbps":${fmt(m, 1)}""" else ""
+      s""""$k":{"t0":${fmt(a, 3)},"t1":${fmt(b, 3)}$mini}"""
     }.mkString(""","timeline":{""", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec"$sentinelJson$failedJson,"queries":$qsFull$noopJson$detailJson$timelineJson,"sf":"$sfDir"}"""

@@ -97,7 +97,7 @@ object CcProbe {
     println(s"""{"metric":"cc_probe","algo":"$algo","claimed":$claimed,""" +
       s""""diskbound":$diskBound,"peak_scratch_bytes":${peak.get},""" +
       s""""n_chains":$nChains,"chain_len":$chainLen,"edges":${n - nChains},""" +
-      s""""value":${"%.3f".format(sec)},"unit":"sec"}""")
+      s""""value":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(sec))},"unit":"sec"}""")
     spark.stop()
   }
 }

@@ -91,11 +91,13 @@ object DocsDecadeProbe {
 
     val noopEndSec = noopProbe()
     val nDocs = spark.read.parquet(dest.getPath).count()
-    println(f"""{"metric":"docs_decade_probe","query":"d2_minhash_lsh",""" +
-      f""""factor":$factor,"docs":$nDocs,"pairs":$decadePairs,""" +
-      f""""build_sec":$buildSec%.3f,"sf100_sec":$sf100Sec%.3f,""" +
-      f""""value":$decadeSec%.3f,"unit":"sec",""" +
-      f""""noop_sec":$noopSec%.3f,"noop_end_sec":$noopEndSec%.3f}""")
+    // Locale.ROOT: comma-decimal default locales would break the JSON
+    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    println(s"""{"metric":"docs_decade_probe","query":"d2_minhash_lsh",""" +
+      s""""factor":$factor,"docs":$nDocs,"pairs":$decadePairs,""" +
+      s""""build_sec":${f3(buildSec)},"sf100_sec":${f3(sf100Sec)},""" +
+      s""""value":${f3(decadeSec)},"unit":"sec",""" +
+      s""""noop_sec":${f3(noopSec)},"noop_end_sec":${f3(noopEndSec)}}""")
     spark.stop()
   }
 }

@@ -42,13 +42,23 @@ object EtlRunner {
     * @param duplicateIds per-node duplicate-id frame rows (must be 0 for
     *                     a valid run — the reference aborts, we report)
     * @param violations   schema-violation rows across all nodes
-    * @param duplicates   cross-transformation duplicate-report rows
+    * @param duplicates   suppressed cross-transformation duplicate-record
+    *                     rows (observation/study/reference_file content
+    *                     dedup — what the reference counts in
+    *                     `_duplicate_harmonized_records`)
+    * @param mergeUpdates participant ids contributed by more than one
+    *                     transformation (the reference handles these via
+    *                     `_update_participant_in_merged_data_set` and only
+    *                     LOGS them — they are merge updates, not
+    *                     suppressed duplicates, so they stay out of
+    *                     `duplicates`)
     */
   final case class Result(
       recordCounts: Map[(String, String), Long],
       duplicateIds: Long,
       violations: Long,
-      duplicates: Long)
+      duplicates: Long,
+      mergeUpdates: Long)
 
   def run(spark: SparkSession, config: Config): Result = {
     val schema: C3dcSchema = SchemaLoader.fromFile(config.schemaPath)
@@ -128,6 +138,7 @@ object EtlRunner {
     // content alone.
     val nodeNames = perXform.flatMap(_._2.keys).distinct
     var duplicates = 0L
+    var mergeUpdates = 0L
     val merged: Map[String, DataFrame] = nodeNames.map { n =>
       val frames = perXform.zipWithIndex.collect {
         case ((x, nodes), i) if nodes.contains(n) => (x.name, i, nodes(n))
@@ -143,13 +154,23 @@ object EtlRunner {
         }
       val rep = report.withColumn("transformations",
         array_join(col("transformations"), ";"))
-      duplicates += rep.count()
-      rep.coalesce(1).write.mode("overwrite")
-        .option("header", true).csv(s"${config.outDir}/duplicates_$n")
+      // participant rows are MERGE UPDATES (reference
+      // `_update_participant_in_merged_data_set` logs them), not
+      // suppressed duplicate records — they don't belong in the K3
+      // duplicate total and land in their own report file
+      if (n == "participant") {
+        mergeUpdates += rep.count()
+        rep.coalesce(1).write.mode("overwrite")
+          .option("header", true).csv(s"${config.outDir}/merge_updates_$n")
+      } else {
+        duplicates += rep.count()
+        rep.coalesce(1).write.mode("overwrite")
+          .option("header", true).csv(s"${config.outDir}/duplicates_$n")
+      }
       n -> deduped
     }.toMap
     HarmonizedJsonSink.writeDocument(merged, s"${config.outDir}/merged.harmonized.json")
 
-    Result(recordCounts, duplicateIds, violations, duplicates)
+    Result(recordCounts, duplicateIds, violations, duplicates, mergeUpdates)
   }
 }

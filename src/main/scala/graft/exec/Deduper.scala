@@ -158,8 +158,11 @@ object Deduper {
     *
     * Same map-side-combining `min(struct)` aggregate shape as [[dedupe]] —
     * at 100 TB the shuffle carries one candidate per id per map partition.
-    * The report lists ids contributed by more than one transformation (the
-    * reference logs these as merge updates; this engine reports them).
+    * The report lists ids contributed by more than one DISTINCT
+    * transformation (the reference logs these as merge updates,
+    * `_update_participant_in_merged_data_set`; this engine reports them) —
+    * one transformation repeating an id is a duplicate-id problem A2
+    * surfaces, not a merge update, so it must not fire here.
     */
   def dedupeById(
       node: String,
@@ -182,7 +185,7 @@ object Deduper {
         lit(node).as("node"),
         count(lit(1)).as("occurrences"),
         sort_array(collect_set(col("__xform"))).as("transformations"))
-      .filter(col("occurrences") > 1)
+      .filter(size(col("transformations")) > 1)
     (deduped, report)
   }
 }

@@ -63,8 +63,25 @@ final class Harmonizer(schema: C3dcSchema, xform: Transformation) {
       val one = source.sparkSession.range(1).toDF("__one")
       return builder.build(node, one, lit("singleton"))
     }
+    // Reference row-skip (etl/target/c3dc_etl.py:1549-1558): a source row
+    // whose participant build yields != 1 record is excluded WHOLE — it
+    // contributes no participant and no observation records (which would
+    // otherwise dangle). The participant record count is a row-local
+    // function of the source row (type-group admission; the reference
+    // builds participants from the raw record, sub-source explode applies
+    // to observations only), so the rule compiles to a filter pushed into
+    // each scan — never a join against the built participant frame.
+    // Applies to the tabular path only: workbook observations build from
+    // per-tab frames whose rows don't correspond to participant rows.
+    val skipped =
+      if ((node == "participant" || GraphLinker.ObservationNodes.contains(node))
+          && xform.nodeTypes.contains("participant")) {
+        val pKey = sourceIdField("participant")
+          .map(f => col("`" + f + "`").cast("string")).getOrElse(rowKey)
+        source.filter(builder.admittedGroupCount("participant", pKey) === 1)
+      } else source
     val idField = sourceIdField(node)
-    val exploded = explodeFields(node).foldLeft(source) { case (df, (_, srcField)) =>
+    val exploded = explodeFields(node).foldLeft(skipped) { case (df, (_, srcField)) =>
       idField match {
         case Some(id) => SubSourceExploder.explode(df, srcField, id)
         case None     => df

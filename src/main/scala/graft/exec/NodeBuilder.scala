@@ -78,19 +78,7 @@ final class NodeBuilder(schema: C3dcSchema, xform: Transformation) {
       if (unmappedRequired.nonEmpty) None
       else {
         val cols = propsInOrder.map { prop =>
-          val chain = byProp(prop)
-          def compiled(m: Mapping): Column = {
-            val ctx = CompileCtx(xform.uuidSeed, node, gi, rowKey, ordinals.getOrElse(m, 0))
-            compiler.compile(m, ctx)
-          }
-          // fold: each later mapping overwrites unless its gate rejects,
-          // in which case the accumulated earlier value shows through
-          chain.tail.foldLeft(compiled(chain.head)) { (acc, m) =>
-            compiler.gateAdmitted(m) match {
-              case None      => compiled(m)
-              case Some(adm) => when(adm, compiled(m)).otherwise(acc)
-            }
-          }.as(prop)
+          assignmentFold(node, gi, byProp(prop), rowKey).as(prop)
         } ++ passthrough.map { case (n, c) => c.as(n) }
         val projected = source.select(cols: _*)
         Some(projected.filter(requiredPred(spec, byProp.keySet.toSet)))
@@ -98,6 +86,26 @@ final class NodeBuilder(schema: C3dcSchema, xform: Transformation) {
     }
     require(frames.nonEmpty, s"no satisfiable type groups for node type $node")
     frames.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
+  /** Gate-aware assignment fold (reference :1291-1322): mappings for the
+    * same property assign in order; each later mapping overwrites unless
+    * its P5 gate rejects, in which case the accumulated earlier value
+    * shows through. Shared by [[build]], [[compiledProperty]] and
+    * [[admittedGroupCount]].
+    */
+  private def assignmentFold(
+      node: String, gi: String, chain: Seq[Mapping], rowKey: Column): Column = {
+    def compiled(m: Mapping): Column = {
+      val ctx = CompileCtx(xform.uuidSeed, node, gi, rowKey, ordinals.getOrElse(m, 0))
+      compiler.compile(m, ctx)
+    }
+    chain.tail.foldLeft(compiled(chain.head)) { (acc, m) =>
+      compiler.gateAdmitted(m) match {
+        case None      => compiled(m)
+        case Some(adm) => when(adm, compiled(m)).otherwise(acc)
+      }
+    }
   }
 
   /** Compiled value of one of `node`'s properties against a source row —
@@ -108,27 +116,42 @@ final class NodeBuilder(schema: C3dcSchema, xform: Transformation) {
   def compiledProperty(node: String, prop: String, rowKey: Column): Option[Column] =
     TypeGroups.collate(xform.mappingsFor(node)).collectFirst {
       case (gi, ms) if ms.exists(_.property == prop) =>
-        val chain = ms.filter(_.property == prop)
-        def compiled(m: Mapping): Column = {
-          val ctx = CompileCtx(xform.uuidSeed, node, gi, rowKey, ordinals.getOrElse(m, 0))
-          compiler.compile(m, ctx)
-        }
-        chain.tail.foldLeft(compiled(chain.head)) { (acc, m) =>
-          compiler.gateAdmitted(m) match {
-            case None      => compiled(m)
-            case Some(adm) => when(adm, compiled(m)).otherwise(acc)
-          }
-        }
+        assignmentFold(node, gi, ms.filter(_.property == prop), rowKey)
     }
+
+  /** Per-source-row count of the records [[build]] yields for `node`
+    * (before any sub-source explode): how many type groups admit the row
+    * through their required-field filter; a group with an unmapped
+    * required property yields none (the same plan-time prune [[build]]
+    * applies). Row-local — no join, no shuffle — which lets the
+    * Harmonizer compile the reference's participant row-skip rule
+    * (etl/target/c3dc_etl.py:1549-1558: a row whose participant build
+    * yields != 1 record contributes nothing) into a filter pushed down
+    * to the observation scans, instead of a data-sized semi-join against
+    * the built participant frame.
+    */
+  def admittedGroupCount(node: String, rowKey: Column): Column = {
+    val spec = schema.node(node)
+    TypeGroups.collate(xform.mappingsFor(node)).flatMap { case (gi, ms) =>
+      val byProp = ms.groupBy(_.property)
+      val unmappedRequired =
+        spec.requiredProps.filterNot(p => byProp.contains(p) || p == "id")
+      if (unmappedRequired.nonEmpty) None
+      else Some(requiredPred(spec, byProp.keySet,
+        p => assignmentFold(node, gi, byProp(p), rowKey)))
+    }.map(p => when(p, lit(1)).otherwise(lit(0)))
+      .reduceOption(_ + _).getOrElse(lit(0))
+  }
 
   /** Required values must be non-blank; arrays non-empty with at least one
     * non-blank element (reference etl/target/c3dc_etl.py:1358-1366).
     */
   private def requiredPred(
       spec: graft.model.NodeSpec,
-      mapped: Set[String]): Column =
+      mapped: Set[String],
+      resolve: String => Column = p => col("`" + p + "`")): Column =
     spec.requiredProps.filter(mapped.contains).map { p =>
-      val c = col("`" + p + "`")
+      val c = resolve(p)
       spec.byName(p).typ match {
         case PropType.ArrStr =>
           c.isNotNull && exists(c, x => x.isNotNull && x =!= lit(""))

@@ -263,11 +263,13 @@ object StreamBench {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val rs = run(spark, sfDir, nBuckets, only = only)
+    // Locale.ROOT: comma-decimal default locales would break the JSON
+    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val js = rs.map(r =>
-      s""""${r.name}":{"sec":${"%.3f".format(r.sec)},"rows":${r.rows},""" +
+      s""""${r.name}":{"sec":${f3(r.sec)},"rows":${r.rows},""" +
         s""""rows_per_sec":${(r.rows / math.max(r.sec, 1e-9)).toLong},"ok":${r.ok}}""")
       .mkString("{", ",", "}")
-    println(s"""{"metric":"stream_suite","value":${"%.3f".format(rs.map(_.sec).sum)},"unit":"sec","streams":$js,"state_store":"$stateStore","sf":"${new java.io.File(sfDir).getName}"}""")
+    println(s"""{"metric":"stream_suite","value":${f3(rs.map(_.sec).sum)},"unit":"sec","streams":$js,"state_store":"$stateStore","sf":"${new java.io.File(sfDir).getName}"}""")
     require(rs.forall(_.ok), s"stream/batch mismatch: ${rs.filterNot(_.ok).map(_.name)}")
     spark.stop()
   }

@@ -63,8 +63,11 @@ class EtlRunnerSpec extends SparkTestBase {
     assert(result.recordCounts(("x1", "study")) == 1)
     assert(result.duplicateIds == 0)
     assert(result.violations == 0)
-    // every x2 record duplicates an x1 record: 4 participants + 1 study
-    assert(result.duplicates == 5)
+    // x2's study record duplicates x1's by content; x2's 4 participant
+    // ids are MERGE UPDATES (reference logs, never counts, them) and
+    // stay out of the duplicate total
+    assert(result.duplicates == 1)
+    assert(result.mergeUpdates == 4)
 
     // per-transformation doc parses and holds the pluralized arrays
     val doc = new ObjectMapper().readTree(
@@ -80,9 +83,9 @@ class EtlRunnerSpec extends SparkTestBase {
     assert(mergedDoc.get("participants").size() == 4)
     assert(mergedDoc.get("studies").size() == 1)
 
-    // duplicate report written as CSV
+    // participant merge-update report written as CSV
     val rep = spark.read.option("header", true)
-      .csv(s"$outDir/duplicates_participant")
+      .csv(s"$outDir/merge_updates_participant")
     assert(rep.count() == 4)
     assert(rep.columns.contains("transformations"))
 

@@ -78,6 +78,24 @@ class HarmonizerSpec extends SparkTestBase {
     assert(doc.contains("TARGET-30-PAAAAA"))
   }
 
+  test("reference row-skip: a row whose participant build yields != 1 record " +
+      "contributes no observations (c3dc_etl.py:1549-1558)") {
+    // row 3's participant id is blank → participant build yields 0 records
+    // → the reference EXCLUDES the row whole; its survival record (whose
+    // own {uuid} id would otherwise survive the required filter) must not
+    // emit as an orphan
+    val withBlank = source.unionByName(Seq(
+      ("", "Male", "White", "Not Hispanic or Latino", "100", "200", "Alive", "C71.9", 3L)
+    ).toDF("TARGET USI", "Gender", "Race", "Ethnicity", "Age at Diagnosis in Days",
+      "Overall Survival Time in Days", "Vital Status", "ICDO", "source_file_row_num"))
+    val built = harmonizer.harmonize(withBlank, col("source_file_row_num"))
+    assert(built("participant").count() == 2)
+    assert(built("survival").count() == 2,
+      "blank-participant row must contribute no survival record")
+    assert(GraphValidator.orphanObservations(
+      built("survival"), built("participant")).isEmpty)
+  }
+
   test("P9: multi-valued enum source explodes into sub-source records") {
     // first_event isn't enum in fixture schema; use diagnosis with two codes
     val src = Seq(("T-1", "C71.9;C74.9", 1L))
