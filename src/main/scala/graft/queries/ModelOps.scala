@@ -161,16 +161,27 @@ object ModelOps {
           .select(col("doc_id"), yCol.as("y"), mv.as("mv"), nTok.as("nt"))
           .filter(col("nt") > 0).drop("nt")
           .localCheckpoint(false) // feeds NB counts, 2 GD steps, final scoring
-        // NB closed form: per-bucket class counts (64 groups) + class sizes
-        val cAgg = features
+        // NB closed form: per-bucket class counts (64 groups). Class sizes
+        // ride the SAME aggregate (r15): mv is dense, so every doc emits
+        // one exploded row per bucket and each bucket's class-1 row count
+        // IS nPos — the separate features.groupBy(y).count() pass (one
+        // full scan of the checkpointed features per rep) folds away.
+        // Density is asserted the same way the bias gradient's is below.
+        val cRows = features
           .select(col("y"), posexplode(col("mv")).as(Seq("b", "m")))
           .groupBy(col("b"))
           .agg(sum(when(col("y") === 1, col("m")).otherwise(0L)).as("cpos"),
-            sum(when(col("y") === 0, col("m")).otherwise(0L)).as("cneg"))
-          .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
-        val classN = features.groupBy(col("y")).count()
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        val (nPos, nNeg) = (classN.getOrElse(1L, 0L), classN.getOrElse(0L, 0L))
+            sum(when(col("y") === 0, col("m")).otherwise(0L)).as("cneg"),
+            sum(when(col("y") === 1, 1L).otherwise(0L)).as("np"),
+            count(lit(1)).as("nt"))
+          .collect()
+        val cAgg = cRows.map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+        require(cRows.isEmpty || (cRows.length == B &&
+          cRows.map(_.getLong(3)).toSet.size == 1 &&
+          cRows.map(_.getLong(4)).toSet.size == 1),
+          s"qc1 class sizes need a dense $B-bucket feature vector")
+        val nPos = if (cRows.isEmpty) 0L else cRows.head.getLong(3)
+        val nNeg = if (cRows.isEmpty) 0L else cRows.head.getLong(4) - cRows.head.getLong(3)
         val nDocs = (nPos + nNeg).toDouble
         val tPos = cAgg.valuesIterator.map(_._1).sum
         val tNeg = cAgg.valuesIterator.map(_._2).sum
@@ -180,9 +191,13 @@ object ModelOps {
             math.log((cn + 1).toDouble / (tNeg + B))) * 1e6)
         }
         var bias = rnd(math.log(nPos.toDouble / nNeg.toDouble) * 1e6)
+        // native integer dot (DotMilli) of the dense bucket vector with the
+        // literal weight array — bit-identical to the zip_with/aggregate
+        // HOF form (the kernel's pinned spec), but one codegen'd loop
+        // instead of 64 interpreted lambda evaluations per doc per pass
+        // (this margin runs in all 3 post-init scans: 2 GD steps + scoring)
         def marginOf(wts: Array[Long], bw: Long): Column =
-          aggregate(zip_with(col("mv"), typedlit(wts.toSeq), (a, b) => a * b),
-            lit(0L), (a, v) => a + v) + lit(bw)
+          call_function("graft_dot_milli", col("mv"), typedlit(wts.toSeq)) + lit(bw)
         def errOf(m: Column): Column =
           rndLong((lit(1.0) / (lit(1.0) + exp(-m.cast("double") / lit(1e6))) -
             col("y").cast("double")) * 1000)
@@ -254,19 +269,24 @@ object ModelOps {
         // scoring is one row-local projection over the corpus, zero
         // joins, zero shuffles. Per-token contributions are integer
         // micro-nats so doc sums are order-independent longs.
+        // r15: the per-token work rides the dense graft_bucket_counts
+        // kernel (one JIT'd split+md5 pass per doc) instead of
+        // graft_token_counts + an interpreted transform whose lambda
+        // re-evaluated the md5-bucket COLUMN EXPRESSION per distinct
+        // token. Dense zero-count buckets add 0 to every sum, so tc/rc
+        // and the lam table are bit-identical; the column `bucket` form
+        // stays the spec (and the oracle's definition) — kernel parity
+        // is pinned by NativeTextExpressionsSpec.
         val nB = 256
-        val pairs = call_function("graft_token_counts", col("text"))
-        val bm = explode(transform(pairs, p =>
-          struct(bucket(p.getField("tok"), nB).as("b"), p.getField("m").as("m"))))
+        val bc = call_function("graft_bucket_counts", col("text"), lit(nB))
         val docs = t(s, dir, "documents")
         val isTarget = col("source").isin("src1", "src2")
         val byBucket = docs
-          .select(isTarget.as("tgt"), bm.as("e"))
-          .select(col("tgt"), col("e.b").as("b"), col("e.m").as("m"))
+          .select(isTarget.as("tgt"), posexplode(bc).as(Seq("b", "m")))
           .groupBy(col("b"))
           .agg(sum(when(col("tgt"), col("m")).otherwise(0L)).as("tc"),
             sum(col("m")).as("rc"))
-          .collect().map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2))).toMap
+          .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
         val tTot = byBucket.valuesIterator.map(_._1).sum
         val rTot = byBucket.valuesIterator.map(_._2).sum
         val lam = Array.tabulate(nB) { b =>
@@ -274,13 +294,13 @@ object ModelOps {
           rnd((math.log((tc + 1).toDouble / (tTot + nB)) -
             math.log((rc + 1).toDouble / (rTot + nB))) * 1e6)
         }
+        // scoring = native dot of the dense bucket vector with the literal
+        // lam table: sum_b cnt_b * lam_b == sum_tok m * lam[bucket(tok)]
+        // (same longs, regrouped — order-independent). n_toks = total
+        // multiplicity = the tok-stats kernel's n_tokens.
         val lamLit = typedlit(lam.toSeq)
-        val score = aggregate(
-          transform(pairs, p =>
-            p.getField("m") * element_at(lamLit,
-              (bucket(p.getField("tok"), nB) + 1).cast("int"))),
-          lit(0L), (a, v) => a + v)
-        val nTok = aggregate(pairs, lit(0L), (a, p) => a + p.getField("m"))
+        val score = call_function("graft_dot_milli", bc, lamLit)
+        val nTok = call_function("graft_tok_stats", col("text")).getField("n_tokens")
         docs.select(col("doc_id"), col("source"), nTok.as("n_toks"),
             score.as("lw_micro"))
           .filter(col("n_toks") > 0)

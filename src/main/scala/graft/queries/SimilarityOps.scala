@@ -481,9 +481,12 @@ object SimilarityOps {
           Array.tabulate(M, J)((m, j) => seeds(j).slice(m * S, m * S + S).toArray)
 
         def subv(q: org.apache.spark.sql.Column, m: Int) = slice(q, m * S + 1, S)
+        // native integer dot against a literal centroid (DotMilli kernel):
+        // bit-identical to the zip_with/aggregate HOF spec, one codegen'd
+        // loop instead of a 16-element interpreted lambda walk — the encode
+        // evaluates 32 of these per corpus row (r15, guide §4)
         def dotLit(sub: org.apache.spark.sql.Column, c: Array[Long]) =
-          aggregate(zip_with(sub, typedlit(c.toSeq), (a, b) => a * b),
-            lit(0L), (acc, x) => acc + x)
+          call_function("graft_dot_milli", sub, typedlit(c.toSeq))
         def code(q: org.apache.spark.sql.Column, m: Int) = {
           val costs = array((0 until J).map { j =>
             lit(cb(m)(j).map(x => x * x).sum) - lit(2L) * dotLit(subv(q, m), cb(m)(j))
@@ -494,16 +497,24 @@ object SimilarityOps {
         val corpus = e.filter(!expr(QuerySetSql))
           .select(col("vec_id"),
             array((0 until M).map(m => code(col("q"), m)): _*).as("codes"))
+        // r15: the ADC is now an actual table lookup, as the doc comment
+        // always promised. The broadcast query side precomputes the
+        // (subspace, centroid) dot table — J native dots per subspace per
+        // QUERY row — and each corpus candidate costs M element_at
+        // lookups, instead of re-deriving M 16-element dot products per
+        // (candidate, query) pair through interpreted zip_with/aggregate
+        // lambdas. Same integers (tab_m[code] IS dot(subv(qq,m),
+        // cb(m)(code))), so the oracle hash is unchanged.
         val queries = e.filter(expr(QuerySetSql))
           .select(col("vec_id").as("query_id"), col("q").as("qq"))
-        val cbLit = (0 until M).map(m => typedlit(cb(m).map(_.toSeq).toSeq))
+          .select(col("query_id") +: (0 until M).map { m =>
+            array((0 until J).map(j => dotLit(subv(col("qq"), m), cb(m)(j))): _*)
+              .as(s"tab_$m")
+          }: _*)
         val scored = corpus.crossJoin(broadcast(queries))
           .select(col("query_id"), col("vec_id"),
             (0 until M).map { m =>
-              aggregate(
-                zip_with(subv(col("qq"), m),
-                  element_at(cbLit(m), col("codes")(m) + 1), (a, b) => a * b),
-                lit(0L), (acc, x) => acc + x)
+              element_at(col(s"tab_$m"), col("codes")(m) + 1)
             }.reduce(_ + _).as("adc_score"))
 
         val ord = Seq(col("adc_score").desc, col("vec_id"))
