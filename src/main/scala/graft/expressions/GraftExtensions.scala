@@ -50,6 +50,10 @@ object GraftExtensions {
     "graft_shingle_hashes" -> (es => ShingleHashes(es.head)),
     "graft_shingle_strings" -> (es => ShingleStrings(es.head,
       if (es.length > 1) intArg(es(1), "graft_shingle_strings") else 3)),
+    "graft_line_grams" -> (es => LineGrams(es(0), intArg(es(1), "graft_line_grams"))),
+    "graft_vocab_hits" -> (es => VocabHits(es(0),
+      stringArrayArg(es(1), "graft_vocab_hits"))),
+    "graft_synth_payload" -> (es => SynthPayload(es(0), es(1))),
     "graft_content_fingerprint" -> (es => ContentFingerprint(es.head)),
     "graft_multi_values" -> (es => MultiValues(es.head)),
     "graft_token_counts" -> (es => TokenCounts(es.head)),

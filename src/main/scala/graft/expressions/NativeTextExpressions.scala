@@ -198,6 +198,76 @@ case class MultiValues(child: Expression) extends NativeTextExpression {
   override def prettyName: String = "graft_multi_values"
 }
 
+/** Count of token instances found in a plan-time vocabulary (see
+  * `TextKernels.vocabHits`) — the stopword-count signal of the quality
+  * scores (t2/t12). The vocab literal becomes a shared HashSet reference
+  * object in the generated code: one static call per row, no per-token
+  * isin expression walk.
+  */
+case class VocabHits(child: Expression, vocab: Array[String])
+    extends NativeTextExpression {
+  private lazy val vocabSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](vocab.length * 2)
+    vocab.foreach(s.add)
+    s
+  }
+  override def dataType: DataType = LongType
+  // kernelCall is unused: doGenCode needs the vocab reference object
+  override protected def kernelCall(c: String): String =
+    throw new IllegalStateException("VocabHits generates via doGenCode")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vref = ctx.addReferenceObj("vocabSet", vocabSet, "java.util.HashSet")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.TextKernels.vocabHits($c, $vref)")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.vocabHits(input.asInstanceOf[UTF8String], vocabSet)
+  override protected def withNewChildInternal(newChild: Expression): VocabHits =
+    copy(child = newChild)
+  override def prettyName: String = "graft_vocab_hits"
+}
+
+/** Deterministic synthetic binary payload: nBlocks 16-byte md5 blocks
+  * keyed on (id, block index) — see `TextKernels.synthPayload` and
+  * `MediaPipeline.syntheticPayload` (whose HOF form is the spec).
+  */
+case class SynthPayload(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, org.apache.spark.sql.types.IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (BIGINT, INT), got ${l.sql}, ${r.sql}")
+    }
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override protected def nullSafeEval(id: Any, n: Any): Any =
+    TextKernels.synthPayload(id.asInstanceOf[Long], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expressions.TextKernels.synthPayload($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SynthPayload =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_synth_payload"
+}
+
+/** Non-overlapping n-token line segmentation (see
+  * `TextFunctions.lineGrams`); n is a plan-time constant (8 = the C4-style
+  * line-dedup granularity of t11).
+  */
+case class LineGrams(child: Expression, n: Int) extends NativeTextExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def kernelCall(c: String): String =
+    s"graft.expressions.TextKernels.lineGrams($c, $n)"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.lineGrams(input.asInstanceOf[UTF8String], n)
+  override protected def withNewChildInternal(newChild: Expression): LineGrams =
+    copy(child = newChild)
+  override def prettyName: String = "graft_line_grams"
+}
+
 case class ShingleStrings(child: Expression, n: Int = 3) extends NativeTextExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override protected def kernelCall(c: String): String =

@@ -298,6 +298,75 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Count of token INSTANCES present in a literal vocabulary (t12/t2's
+    * stopword-count signal). Mirrors
+    * `size(filter(tokens(text), x.isin(vocab)))` — the HOF form walks the
+    * materialized token array through an interpreted per-element isin
+    * lambda; this is one split+set-probe pass. Matching is exact string
+    * equality, like `isin` on strings.
+    */
+  def vocabHits(text: UTF8String, vocab: java.util.HashSet[String]): Long = {
+    val toks = text.toString.split("\\s+")
+    var n = 0L
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty && vocab.contains(toks(i))) n += 1L
+      i += 1
+    }
+    n
+  }
+
+  /** Deterministic synthetic binary payload (MediaPipeline): `nBlocks`
+    * 16-byte blocks, block i = md5 digest of `id + ":" + i` — the raw
+    * digest IS unhex(md5hex), so the kernel skips the hex round-trip the
+    * HOF spec (`unhex(concat_ws("", transform(sequence, i ->
+    * md5(concat(id, ':', i)))))`) pays, along with its interpreted
+    * per-block lambda. Parity asserted in NativeTextExpressionsSpec.
+    */
+  def synthPayload(id: Long, nBlocks: Int): Array[Byte] = {
+    if (nBlocks <= 0) return Array.empty[Byte]
+    val md = digests.get()
+    val out = new Array[Byte](nBlocks * 16)
+    val idStr = java.lang.Long.toString(id)
+    var i = 0
+    while (i < nBlocks) {
+      md.reset()
+      val d = md.digest((idStr + ":" + i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.arraycopy(d, 0, out, i * 16, 16)
+      i += 1
+    }
+    out
+  }
+
+  /** Non-overlapping n-token "lines" (C4-style line segmentation, t11):
+    * tokens grouped n at a time in document order, each joined by single
+    * spaces; the last line keeps whatever remainder exists; zero tokens →
+    * empty array. Mirrors `TextFunctions.lineGrams` (the guarded HOF
+    * spec) — the HOF form paid an interpreted transform + slice +
+    * array_join lambda walk per line, and t11 evaluates the segmentation
+    * in TWO subtrees (corpus line counting and the per-doc probe side).
+    */
+  def lineGrams(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split("\\s+").filter(_.nonEmpty)
+    if (toks.length == 0) return new GenericArrayData(Array.empty[AnyRef])
+    val nLines = (toks.length + n - 1) / n
+    val out = new Array[AnyRef](nLines)
+    var k = 0
+    while (k < nLines) {
+      val sb = new java.lang.StringBuilder(n * 8)
+      var j = k * n
+      val end = math.min(j + n, toks.length)
+      while (j < end) {
+        if (j > k * n) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(k) = UTF8String.fromString(sb.toString)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Greedy longest-prefix piece encoding of the token stream against a
     * vocabulary (wordpiece-style tokenizer APPLY step). `vocab` must be
     * pre-sorted longest-first with lexicographic tie-break — the first

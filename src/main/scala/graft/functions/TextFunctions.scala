@@ -90,6 +90,20 @@ object TextFunctions {
           .as("top_bigram_m"))
     }
 
+  /** Non-overlapping n-token "lines" in document order, each joined by
+    * single spaces; the last line keeps the remainder; zero tokens →
+    * empty array. The executable spec for the `graft_line_grams` kernel
+    * (bit-parity asserted in NativeTextExpressionsSpec) — t11's C4-style
+    * line segmentation.
+    */
+  def lineGrams(text: Column, n: Int): Column =
+    DedupFunctions.let1(tokens(text)) { toks =>
+      when(size(toks) === 0, typedlit(Seq.empty[String]))
+        .otherwise(transform(
+          sequence(lit(0), ceil(size(toks) / n.toDouble).cast("int") - 1),
+          k => array_join(slice(toks, k * n + 1, lit(n)), " ")))
+    }
+
   /** Distinct sorted shingles — the set used by Jaccard/MinHash. */
   def shingleSet(text: Column, n: Int): Column =
     array_sort(array_distinct(shingles(tokens(text), n)))

@@ -138,6 +138,15 @@ object MediaPipeline {
     * WholeStageCodegen span — no UDF, no driver data.
     */
   def syntheticPayload(id: Column, nBlocks: Column): Column =
+    call_function("graft_synth_payload", id.cast("long"), nBlocks.cast("int"))
+
+  /** HOF spec for [[syntheticPayload]] (`graft_synth_payload` kernel
+    * parity is asserted against this in NativeTextExpressionsSpec): the
+    * raw md5 digest IS unhex(md5hex), so the kernel emits digests
+    * directly instead of paying an interpreted per-block lambda plus a
+    * hex round-trip.
+    */
+  def syntheticPayloadHof(id: Column, nBlocks: Column): Column =
     unhex(concat_ws("",
       transform(sequence(lit(0), nBlocks.cast("int") - 1),
         i => md5(concat(id.cast("string"), lit(":"), i.cast("string"))))))

@@ -884,10 +884,12 @@ object TextOps {
         // by a single document's line count. No global sort; per-doc
         // order rides the (idx, line) struct sort inside each group.
         val boiler = "subscribe to our newsletter for updates and offers"
-        val toks = tokens(concat(lit(boiler), lit(" "), col("text")))
-        val nLines = ceil(size(toks) / 8d).cast("int")
-        val lines = transform(sequence(lit(0), nLines - 1),
-          k => array_join(slice(toks, k * 8 + 1, lit(8)), " "))
+        // r15: segmentation rides the graft_line_grams kernel (one JIT'd
+        // split+group pass; TextFunctions.lineGrams is the HOF spec) —
+        // the interpreted transform/slice/array_join chain ran per line
+        // in BOTH subtrees below (corpus line count + probe side)
+        val lines = call_function("graft_line_grams",
+          concat(lit(boiler), lit(" "), col("text")), lit(8))
         val exploded = t(s, dir, "documents")
           .select(col("doc_id"), posexplode(lines).as(Seq("idx", "line")))
         val repeated = exploded.groupBy(col("line"))
@@ -936,15 +938,20 @@ object TextOps {
         // (source, score) — a frame bounded by sources x 3001 at ANY
         // corpus size — then a tiny threshold cross join. 100 TB cost =
         // one histogram shuffle; the sweep itself is constant work.
-        val toks = tokens(col("text"))
+        // r15: the stopword count rides the graft_vocab_hits kernel (one
+        // split+set-probe pass; the old size(filter(toks, isin)) form
+        // materialized the token array and walked it through an
+        // interpreted isin lambda) and the token total reuses the
+        // tok-stats kernel's n_tokens — no token array is built at all.
         val stop = Seq("the", "a", "of", "and", "in", "to", "is")
         val st = call_function("graft_tok_stats", col("text"))
         val score = greatest(lit(0L), least(lit(3000L),
           permille(st.getField("n_distinct_tokens"), st.getField("n_tokens")) * 2
             + permille(length(regexp_replace(col("text"), "[^A-Za-z]", "")),
                 length(col("text")))
-            - permille(size(filter(toks, x => x.isin(stop.map(lit(_)): _*))),
-                size(toks))))
+            - permille(call_function("graft_vocab_hits", col("text"),
+                  typedlit(stop)),
+                st.getField("n_tokens"))))
         val hist = t(s, dir, "documents")
           .select(col("source"), score.as("score"),
             st.getField("n_tokens").as("n_toks"))

@@ -49,6 +49,41 @@ class NativeTextExpressionsSpec extends SparkTestBase {
     assert(got.toSeq == spec.toSeq)
   }
 
+  test("graft_line_grams matches lineGrams(text, n) including remainders") {
+    Seq(3, 8).foreach { n =>
+      val spec = docs.select(graft.functions.TextFunctions.lineGrams(col("text"), n))
+        .as[Seq[String]].collect()
+      val got = docs.select(call_function("graft_line_grams", col("text"), lit(n)))
+        .as[Seq[String]].collect()
+      assert(got.toSeq == spec.toSeq, s"n=$n")
+    }
+  }
+
+  test("graft_vocab_hits matches size(filter(tokens, isin(vocab)))") {
+    val stop = Seq("the", "a", "of", "and", "in", "to", "is", "dup")
+    val spec = docs.select(
+      size(filter(tokens(col("text")), x => x.isin(stop.map(lit(_)): _*)))
+        .cast("long")).as[Long].collect()
+    val got = docs.select(
+      call_function("graft_vocab_hits", col("text"), typedlit(stop)))
+      .as[Long].collect()
+    assert(got.toSeq == spec.toSeq)
+  }
+
+  test("graft_synth_payload matches the unhex(concat_ws(md5...)) HOF spec") {
+    // nb >= 1 only: the HOF's sequence(0, nb-1) goes DESCENDING for
+    // nb=0 (garbage blocks), while the kernel returns empty — queries
+    // always pass nb >= 8 (blocksOf), so the sane kernel contract wins
+    val ids = Seq((0L, 1), (1L, 8), (42L, 31), (97L, 256)).toDF("id", "nb")
+    val spec = ids.select(graft.multimodal.MediaPipeline
+        .syntheticPayloadHof(col("id"), col("nb"))).as[Array[Byte]].collect()
+    val got = ids.select(graft.multimodal.MediaPipeline
+        .syntheticPayload(col("id"), col("nb"))).as[Array[Byte]].collect()
+    spec.zip(got).zipWithIndex.foreach { case ((w, g), i) =>
+      assert(java.util.Arrays.equals(w, g), s"row $i")
+    }
+  }
+
   test("graft_shingle_strings with explicit n matches shingles(tokens, n)") {
     Seq(2, 8).foreach { n =>
       val spec = docs.select(shingles(tokens(col("text")), n))
