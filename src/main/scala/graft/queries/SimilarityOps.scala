@@ -408,15 +408,38 @@ object SimilarityOps {
           .select(col("rep_a"), explode(col("cand")).as("cand_id"), col("cosine"))
           .withColumn("__gr", row_number().over(wg)).filter(col("__gr") <= kk + 2)
           .drop("__gr")
-        val wv = Window.partitionBy(col("vec_id"))
-          .orderBy(col("cosine").desc, col("cand_id"))
+        // r15: per-vector ranking WITHOUT a second window. The old form
+        // exploded members against groupTop rows and ran row_number over
+        // (vec_id) — a second exchange + sort keyed on vec_id. Instead the
+        // group's candidates aggregate into ONE ordered array per rep
+        // (this groupBy is keyed on rep_a, the SAME key wg just
+        // partitioned by, so it reuses that exchange), and each member's
+        // top-k is array arithmetic: drop self, keep the first k. The
+        // comparator reproduces the window's (cosine desc, cand_id asc)
+        // order including Spark's NaN-largest double ordering (a zero
+        // vector's self-cosine is NaN and must rank first, exactly as
+        // row_number ordered it).
+        val cmp = (l: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) => {
+          val (lc, rc) = (l.getField("cosine"), r.getField("cosine"))
+          val (li, ri) = (l.getField("cand_id"), r.getField("cand_id"))
+          when(isnan(lc) && isnan(rc),
+              when(li < ri, -1).when(li > ri, 1).otherwise(0))
+            .when(isnan(lc), -1)
+            .when(isnan(rc), 1)
+            .when(lc > rc, -1).when(lc < rc, 1)
+            .when(li < ri, -1).when(li > ri, 1).otherwise(0)
+        }
+        val topArr = groupTop.groupBy(col("rep_a"))
+          .agg(collect_list(struct(col("cosine"), col("cand_id"))).as("cands"))
+          .select(col("rep_a"), array_sort(col("cands"), cmp).as("cands"))
         groups.select(col("rep").as("rep_a"), explode(col("members")).as("vec_id"))
-          .join(groupTop, Seq("rep_a"))
-          .filter(col("cand_id") =!= col("vec_id"))
-          .withColumn("rank", row_number().over(wv).cast("long"))
-          .filter(col("rank") <= kk)
-          .select(col("vec_id"), col("cand_id").as("neighbor_id"),
-            col("cosine"), col("rank"))
+          .join(topArr, Seq("rep_a"))
+          .select(col("vec_id"), posexplode(
+            slice(filter(col("cands"),
+              c => c.getField("cand_id") =!= col("vec_id")), 1, kk))
+            .as(Seq("__pos", "__c")))
+          .select(col("vec_id"), col("__c.cand_id").as("neighbor_id"),
+            col("__c.cosine").as("cosine"), (col("__pos") + 1).cast("long").as("rank"))
       },
       // COLLAPSED oracle (r11, VERDICT r10 #3): the old per-vector form
       // enumerated every band-sharing candidate pair before ranking —
