@@ -53,6 +53,7 @@ object GraftExtensions {
     "graft_line_grams" -> (es => LineGrams(es(0), intArg(es(1), "graft_line_grams"))),
     "graft_vocab_hits" -> (es => VocabHits(es(0),
       stringArrayArg(es(1), "graft_vocab_hits"))),
+    "graft_alpha_count" -> (es => AlphaCount(es.head)),
     "graft_synth_payload" -> (es => SynthPayload(es(0), es(1))),
     "graft_content_fingerprint" -> (es => ContentFingerprint(es.head)),
     "graft_multi_values" -> (es => MultiValues(es.head)),

@@ -198,6 +198,21 @@ case class MultiValues(child: Expression) extends NativeTextExpression {
   override def prettyName: String = "graft_multi_values"
 }
 
+/** ASCII-letter count (see `TextKernels.alphaCount`) — the alpha-ratio
+  * numerator `length(regexp_replace(text, "[^A-Za-z]", ""))` without the
+  * stripped-copy materialization.
+  */
+case class AlphaCount(child: Expression) extends NativeTextExpression {
+  override def dataType: DataType = LongType
+  override protected def kernelCall(c: String): String =
+    s"graft.expressions.TextKernels.alphaCount($c)"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.alphaCount(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): AlphaCount =
+    copy(child = newChild)
+  override def prettyName: String = "graft_alpha_count"
+}
+
 /** Count of token instances found in a plan-time vocabulary (see
   * `TextKernels.vocabHits`) — the stopword-count signal of the quality
   * scores (t2/t12). The vocab literal becomes a shared HashSet reference

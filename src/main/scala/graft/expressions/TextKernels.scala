@@ -298,6 +298,28 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Count of ASCII letters in the text — the alpha-ratio numerator of
+    * the quality scores (t2/t12). Mirrors
+    * `length(regexp_replace(text, "[^A-Za-z]", ""))`, which materializes
+    * a stripped copy of every document through the regex engine just to
+    * take its length. Byte-walk is exact for ANY input: UTF-8
+    * continuation/lead bytes are ≥ 0x80, so ASCII letter bytes are
+    * always standalone letter characters.
+    */
+  def alphaCount(text: UTF8String): Long = {
+    val n = text.numBytes
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    var i = 0
+    var c = 0L
+    while (i < n) {
+      val b = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+      if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) c += 1L
+      i += 1
+    }
+    c
+  }
+
   /** Count of token INSTANCES present in a literal vocabulary (t12/t2's
     * stopword-count signal). Mirrors
     * `size(filter(tokens(text), x.isin(vocab)))` — the HOF form walks the

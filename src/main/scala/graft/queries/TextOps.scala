@@ -63,19 +63,26 @@ object TextOps {
         // quality signals: mean word length, stopword ratio, repetition
         // (1 - distinct/total), alpha ratio; integer-scaled score so the
         // hash compare is exact (single int division per component)
+        // r15: stopword count and alpha count ride the vocab-hits /
+        // alpha-count kernels (see t12); n_tokens / n_distinct reuse the
+        // tok-stats kernel. Only n_token_chars still needs the token
+        // array (sum of token lengths) — one aggregate HOF instead of
+        // the old five interpreted walks over a rebuilt array.
         val toks = tokens(col("text"))
-        val nTok = size(toks)
         val stop = Seq("the", "a", "of", "and", "in", "to", "is")
-        val nStop = size(filter(toks, x => x.isin(stop.map(lit(_)): _*)))
+        val st = call_function("graft_tok_stats", col("text"))
+        val nTok = st.getField("n_tokens").cast("int")
+        val nStop = call_function("graft_vocab_hits", col("text"), typedlit(stop))
+          .cast("int")
         val nChars = aggregate(toks, lit(0L), (acc, x) => acc + length(x))
-        val nAlpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+        val nAlpha = call_function("graft_alpha_count", col("text")).cast("int")
         t(s, dir, "documents").select(
           col("doc_id"),
           nTok.as("n_tokens"),
           nStop.as("n_stopwords"),
           nChars.as("n_token_chars"),
           permille(nStop, nTok).as("stopword_permille"),
-          permille(size(array_distinct(toks)), nTok).as("distinct_permille"),
+          permille(st.getField("n_distinct_tokens"), nTok).as("distinct_permille"),
           permille(nAlpha, length(col("text"))).as("alpha_permille"))
       },
       Some("""WITH q AS (SELECT doc_id, text,
@@ -947,7 +954,7 @@ object TextOps {
         val st = call_function("graft_tok_stats", col("text"))
         val score = greatest(lit(0L), least(lit(3000L),
           permille(st.getField("n_distinct_tokens"), st.getField("n_tokens")) * 2
-            + permille(length(regexp_replace(col("text"), "[^A-Za-z]", "")),
+            + permille(call_function("graft_alpha_count", col("text")),
                 length(col("text")))
             - permille(call_function("graft_vocab_hits", col("text"),
                   typedlit(stop)),

@@ -59,6 +59,18 @@ class NativeTextExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("graft_alpha_count matches length(regexp_replace(text, non-alpha, ''))") {
+    val extra = (docs.as[String].collect().toSeq ++
+      Seq("Ünïcode mixés ascii AZaz09", "日本語 text with LATIN", "123 !@# []"))
+      .toDF("text")
+    val spec = extra.select(
+      length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long"))
+      .as[Long].collect()
+    val got = extra.select(call_function("graft_alpha_count", col("text")))
+      .as[Long].collect()
+    assert(got.toSeq == spec.toSeq)
+  }
+
   test("graft_vocab_hits matches size(filter(tokens, isin(vocab)))") {
     val stop = Seq("the", "a", "of", "and", "in", "to", "is", "dup")
     val spec = docs.select(
