@@ -54,6 +54,8 @@ object GraftExtensions {
     "graft_vocab_hits" -> (es => VocabHits(es(0),
       stringArrayArg(es(1), "graft_vocab_hits"))),
     "graft_alpha_count" -> (es => AlphaCount(es.head)),
+    "graft_window_hashes" -> (es => WindowHashes(es(0),
+      intArg(es(1), "graft_window_hashes"))),
     "graft_synth_payload" -> (es => SynthPayload(es(0), es(1))),
     "graft_content_fingerprint" -> (es => ContentFingerprint(es.head)),
     "graft_multi_values" -> (es => MultiValues(es.head)),

@@ -268,6 +268,29 @@ case class SynthPayload(left: Expression, right: Expression)
   override def prettyName: String = "graft_synth_payload"
 }
 
+/** Sliding n-token window md5 signatures over a token ARRAY (see
+  * `TextKernels.windowHashes`) — t19's span windows; n is a plan-time
+  * constant.
+  */
+case class WindowHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${t.sql}")
+  }
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.windowHashes(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.TextKernels.windowHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WindowHashes =
+    copy(child = newChild)
+  override def prettyName: String = "graft_window_hashes"
+}
+
 /** Non-overlapping n-token line segmentation (see
   * `TextFunctions.lineGrams`); n is a plan-time constant (8 = the C4-style
   * line-dedup granularity of t11).

@@ -389,6 +389,48 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** md5 hex of every sliding n-token window (stride 1) of a token
+    * array, each window joined by single spaces — t19's span-dedup
+    * window signature. Mirrors
+    * `transform(sequence(0, len-n), k -> md5(array_join(slice(w, k+1, n), ' ')))`
+    * (an interpreted slice+join+md5 lambda per window ≈ per token);
+    * fewer than n tokens → empty. One reusable byte buffer per row.
+    */
+  def windowHashes(toks: ArrayData, n: Int): ArrayData = {
+    val len = toks.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[AnyRef])
+    val words = new Array[Array[Byte]](len)
+    var i = 0
+    while (i < len) {
+      words(i) = toks.getUTF8String(i).getBytes
+      i += 1
+    }
+    val md = digests.get()
+    val alphabet = "0123456789abcdef"
+    val out = new Array[AnyRef](len - n + 1)
+    var k = 0
+    while (k < out.length) {
+      md.reset()
+      var j = k
+      while (j < k + n) {
+        if (j > k) md.update(' '.toByte)
+        md.update(words(j))
+        j += 1
+      }
+      val d = md.digest()
+      val hex = new Array[Byte](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = alphabet.charAt((d(b) >> 4) & 0xf).toByte
+        hex(2 * b + 1) = alphabet.charAt(d(b) & 0xf).toByte
+        b += 1
+      }
+      out(k) = UTF8String.fromBytes(hex)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Greedy longest-prefix piece encoding of the token stream against a
     * vocabulary (wordpiece-style tokenizer APPLY step). `vocab` must be
     * pre-sorted longest-first with lexicographic tie-break — the first

@@ -233,6 +233,12 @@ object JoinAggOps {
         // shuffle on the group key. Quartile fractions are exact binary
         // fractions over integer-valued data, so linear interpolation is
         // bit-identical across engines.
+        // (r15 A/B: the array-fraction form — one shared buffer via
+        // percentile(col, array(.25,.5,.75)) — measured ~15% SLOWER than
+        // three scalar percentiles at sf0.1 under green sentinels
+        // (0.360 vs 0.310 noop-actioned); Spark 4.1's array-fraction
+        // path loses more on update than the shared sort saves. Kept the
+        // scalar form.)
         t(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))
           .agg(
@@ -284,16 +290,32 @@ object JoinAggOps {
         // scale you drop the exact columns and keep the sketches — the
         // contract they were verified against here is what licenses
         // that swap.
+        // r15: countDistinct is split into its OWN aggregate, joined back
+        // on the 3-row group key. In the fused form its rewrite wraps the
+        // whole aggregate in an Expand that doubles every input row, so
+        // each holistic percentile buffer (an interpreted
+        // TypedImperativeAggregate — the expensive part of this query:
+        // 7.9 s noop-actioned at sf0.1 vs 0.19 s count-actioned) streamed
+        // 2x the rows. The split keeps the percentile pass Expand-free
+        // and lets the count/countDistinct pass run as a plain
+        // HashAggregate. Same inputs to every function, bit-identical
+        // outputs; the join is a 3-row broadcast.
+        // (A/B'd: array-fraction percentile(col, array(...)) measured
+        // SLOWER than scalar buffers — see a12 — so the three exact
+        // percentiles stay scalar.)
         val o = t(s, dir, "orders")
-        o.groupBy(col("o_orderstatus"))
+        val cards = o.groupBy(col("o_orderstatus"))
           .agg(
             count(lit(1)).as("n"),
             countDistinct(col("o_custkey")).as("exact_custs"),
-            approx_count_distinct(col("o_custkey"), 0.02).as("hll_custs"),
+            approx_count_distinct(col("o_custkey"), 0.02).as("hll_custs"))
+        val pcts = o.groupBy(col("o_orderstatus"))
+          .agg(
             percentile(col("o_custkey"), lit(0.5)).as("p50_exact"),
             approx_percentile(col("o_custkey"), lit(0.5), lit(10000)).as("ap50"),
             percentile(col("o_custkey"), lit(0.48)).as("lo"),
             percentile(col("o_custkey"), lit(0.52)).as("hi"))
+        cards.join(broadcast(pcts), Seq("o_orderstatus"))
           .select(
             col("o_orderstatus"), col("n"), col("exact_custs"),
             (abs(col("hll_custs") - col("exact_custs"))

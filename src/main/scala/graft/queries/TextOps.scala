@@ -1246,14 +1246,17 @@ object TextOps {
               lit(" "), lit(boiler))).as("w"))
           .withColumn("n", size(col("w")).cast("long"))
           .localCheckpoint(false) // feeds window-gen AND ordered reassembly
+        // r15: window signatures ride the graft_window_hashes kernel (one
+        // JIT'd pass with a reused digest buffer) — the HOF form paid an
+        // interpreted slice+array_join+md5 lambda per window ≈ per token
+        // (4.6 s of the query's 4.9 s noop-actioned cost at sf0.1); the
+        // window offset falls out of posexplode instead of a struct
         val wins = base.filter(col("n") >= W)
           .select(col("doc_id"),
-            explode(transform(sequence(lit(0L), col("n") - W), k =>
-              struct(k.as("k"),
-                md5(array_join(slice(col("w"), (k + 1).cast("int"), lit(W)), " "))
-                  .as("h")))).as("u"))
-          .select(col("doc_id"), col("u.k").as("st"),
-            (col("u.k") + (W - 1)).as("en"), col("u.h").as("h"))
+            posexplode(call_function("graft_window_hashes", col("w"), lit(W)))
+              .as(Seq("k", "h")))
+          .select(col("doc_id"), col("k").cast("long").as("st"),
+            (col("k") + (W - 1)).cast("long").as("en"), col("h"))
         val rep = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
           .filter(col("c") >= 2).select(col("h"))
         val spans = wins.join(rep, Seq("h"))

@@ -71,6 +71,22 @@ class NativeTextExpressionsSpec extends SparkTestBase {
     assert(got.toSeq == spec.toSeq)
   }
 
+  test("graft_window_hashes matches per-window md5(array_join(slice)) HOF") {
+    Seq(2, 16).foreach { n =>
+      val w = tokens(col("text"))
+      val spec = docs.select(
+        when(size(w) >= n,
+          transform(sequence(lit(0), size(w) - n),
+            k => md5(array_join(slice(w, k + 1, lit(n)), " "))))
+          .otherwise(typedlit(Seq.empty[String])))
+        .as[Seq[String]].collect()
+      val got = docs.select(
+        call_function("graft_window_hashes", tokens(col("text")), lit(n)))
+        .as[Seq[String]].collect()
+      assert(got.toSeq == spec.toSeq, s"n=$n")
+    }
+  }
+
   test("graft_vocab_hits matches size(filter(tokens, isin(vocab)))") {
     val stop = Seq("the", "a", "of", "and", "in", "to", "is", "dup")
     val spec = docs.select(
