@@ -511,6 +511,12 @@ object JoinAggOps {
         // contract boolean TRUE (sketches are engine-specific; their
         // CONTRACT is what an independent engine can verify).
         val e = t(s, dir, "events")
+        // (r15 A/B: splitting countDistinct from the sketch aggregate —
+        // the a13 Expand-removal pattern — measured SLOWER here (0.75 vs
+        // 0.48 s noop-actioned at sf0.1): HLL sketch updates are cheap
+        // enough that the Expand's doubled rows cost less than the extra
+        // aggregate + join stages. Kept fused; the pattern pays only
+        // when the co-resident buffers are expensive holistic ones.)
         val per = e.groupBy(col("event_type"))
           .agg(
             hll_sketch_agg(col("user_id"), 14).as("sk"),
