@@ -56,6 +56,7 @@ object GraftExtensions {
     "graft_alpha_count" -> (es => AlphaCount(es.head)),
     "graft_window_hashes" -> (es => WindowHashes(es(0),
       intArg(es(1), "graft_window_hashes"))),
+    "graft_chunk_hashes" -> (es => ChunkHashes(es.head)),
     "graft_synth_payload" -> (es => SynthPayload(es(0), es(1))),
     "graft_content_fingerprint" -> (es => ContentFingerprint(es.head)),
     "graft_multi_values" -> (es => MultiValues(es.head)),

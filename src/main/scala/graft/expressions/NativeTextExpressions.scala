@@ -268,6 +268,31 @@ case class SynthPayload(left: Expression, right: Expression)
   override def prettyName: String = "graft_synth_payload"
 }
 
+/** Fixed-64-byte chunk digests of a BINARY payload (see
+  * `TextKernels.chunkHashes`) — mm5's storage-dedup chunking.
+  */
+case class ChunkHashes(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BINARY, got ${t.sql}")
+  }
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("h", StringType, nullable = false),
+      StructField("sz", LongType, nullable = false))),
+    containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.chunkHashes(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.TextKernels.chunkHashes($c)")
+  override protected def withNewChildInternal(newChild: Expression): ChunkHashes =
+    copy(child = newChild)
+  override def prettyName: String = "graft_chunk_hashes"
+}
+
 /** Sliding n-token window md5 signatures over a token ARRAY (see
   * `TextKernels.windowHashes`) — t19's span windows; n is a plan-time
   * constant.

@@ -431,6 +431,42 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Fixed-64-byte chunk digests of a binary payload (mm5's storage-dedup
+    * chunking): one `struct<h: md5-hex, sz: bytes>` per chunk, the last
+    * chunk keeping the remainder. Mirrors the HOF form
+    * `transform(sequence(0, ceil(nb/64)-1), ci -> struct(
+    *    md5(substring(payload, ci*64+1, 64)), least(64, nb-ci*64)))`
+    * — an interpreted substring+md5 lambda per chunk — in one JIT'd pass
+    * with a reused digest. Empty payload → empty array.
+    */
+  def chunkHashes(payload: Array[Byte]): ArrayData = {
+    val nb = payload.length
+    if (nb == 0) return new GenericArrayData(Array.empty[AnyRef])
+    val nChunks = (nb + 63) / 64
+    val md = digests.get()
+    val alphabet = "0123456789abcdef"
+    val out = new Array[AnyRef](nChunks)
+    var ci = 0
+    while (ci < nChunks) {
+      val off = ci * 64
+      val sz = math.min(64, nb - off)
+      md.reset()
+      md.update(payload, off, sz)
+      val d = md.digest()
+      val hex = new Array[Byte](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = alphabet.charAt((d(b) >> 4) & 0xf).toByte
+        hex(2 * b + 1) = alphabet.charAt(d(b) & 0xf).toByte
+        b += 1
+      }
+      out(ci) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromBytes(hex), sz.toLong))
+      ci += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Greedy longest-prefix piece encoding of the token stream against a
     * vocabulary (wordpiece-style tokenizer APPLY step). `vocab` must be
     * pre-sorted longest-first with lexicographic tie-break — the first

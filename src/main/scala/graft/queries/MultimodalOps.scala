@@ -178,13 +178,12 @@ object MultimodalOps {
           MediaPipeline.syntheticPayload(col("doc_id") % 50, blocksOf(col("doc_id")))
             .as("payload"))
         val media = MediaPipeline.toMediaFrame(src, "doc_id", "payload", "synthetic")
+        // r15: chunk digests ride the graft_chunk_hashes kernel (one
+        // JIT'd pass, reused digest) — the HOF form paid an interpreted
+        // substring+md5 lambda per chunk; the old sequence/transform
+        // tree stays documented in the kernel's contract comment
         val chunks = media
-          .select(col("media_id"), col("meta.n_bytes").as("nb"), col("payload"))
-          .select(explode(transform(
-            sequence(lit(0L), floor((col("nb") + 63L) / 64L).cast("long") - 1L),
-            ci => struct(
-              md5(substring(col("payload"), (ci * 64 + 1).cast("int"), lit(64))).as("h"),
-              least(lit(64L), col("nb") - ci * 64L).as("sz")))).as("c"))
+          .select(explode(call_function("graft_chunk_hashes", col("payload"))).as("c"))
           .select(col("c.h").as("h"), col("c.sz").as("sz"))
         chunks.groupBy(col("h"))
           .agg(count(lit(1)).as("copies"), max(col("sz")).as("sz"))

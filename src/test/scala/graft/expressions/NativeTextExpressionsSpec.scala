@@ -87,6 +87,27 @@ class NativeTextExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("graft_chunk_hashes matches per-chunk md5(substring) HOF incl. remainder") {
+    val payloads = Seq(0L, 1L, 42L, 97L).toDF("id")
+      .select(col("id"), graft.multimodal.MediaPipeline
+        .syntheticPayload(col("id"), (col("id") % 5 + 1).cast("int") * 3).as("p"))
+      .union(Seq(5L).toDF("id").select(col("id"), lit(Array.empty[Byte]).as("p")))
+    val nb = length(col("p")).cast("long")
+    val spec = payloads.select(
+      when(nb === 0,
+          typedlit(Seq.empty[(String, Long)]).cast("array<struct<h:string,sz:bigint>>"))
+        .otherwise(transform(
+          sequence(lit(0L), floor((nb + 63L) / 64L).cast("long") - 1L),
+          ci => struct(
+            md5(substring(col("p"), (ci * 64 + 1).cast("int"), lit(64))).as("h"),
+            least(lit(64L), nb - ci * 64L).as("sz")))
+          .cast("array<struct<h:string,sz:bigint>>")))
+      .as[Seq[(String, Long)]].collect()
+    val got = payloads.select(call_function("graft_chunk_hashes", col("p")))
+      .as[Seq[(String, Long)]].collect()
+    assert(got.toSeq == spec.toSeq)
+  }
+
   test("graft_vocab_hits matches size(filter(tokens, isin(vocab)))") {
     val stop = Seq("the", "a", "of", "and", "in", "to", "is", "dup")
     val spec = docs.select(
