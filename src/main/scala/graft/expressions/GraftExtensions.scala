@@ -32,6 +32,15 @@ object GraftExtensions {
     }
   }
 
+  /** Plan-time string parameter: foldable literal evaluated once. */
+  private def stringArg(e: Expression, fn: String): String = {
+    require(e.foldable, s"$fn: parameter must be a literal string, got $e")
+    e.eval(null) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case v => throw new IllegalArgumentException(s"$fn: expected string literal, got $v")
+    }
+  }
+
   /** Plan-time string-array parameter (vocabularies): foldable literal
     * evaluated once at build, baked into the expression.
     */
@@ -57,6 +66,9 @@ object GraftExtensions {
     "graft_window_hashes" -> (es => WindowHashes(es(0),
       intArg(es(1), "graft_window_hashes"))),
     "graft_chunk_hashes" -> (es => ChunkHashes(es.head)),
+    "graft_bpe_pairs" -> (es => BpePairs(es.head)),
+    "graft_bpe_merge" -> (es => BpeMerge(es(0),
+      stringArg(es(1), "graft_bpe_merge"), stringArg(es(2), "graft_bpe_merge"))),
     "graft_synth_payload" -> (es => SynthPayload(es(0), es(1))),
     "graft_content_fingerprint" -> (es => ContentFingerprint(es.head)),
     "graft_multi_values" -> (es => MultiValues(es.head)),

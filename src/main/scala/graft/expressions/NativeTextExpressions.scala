@@ -3,6 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -266,6 +267,60 @@ case class SynthPayload(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): SynthPayload =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "graft_synth_payload"
+}
+
+/** Adjacent symbol pairs of a symbol array (see `TextKernels.bpePairs`)
+  * — BPE pair counting.
+  */
+case class BpePairs(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${t.sql}")
+  }
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("l", StringType, nullable = false),
+      StructField("r", StringType, nullable = false))),
+    containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.bpePairs(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextKernels.bpePairs($c)")
+  override protected def withNewChildInternal(newChild: Expression): BpePairs =
+    copy(child = newChild)
+  override def prettyName: String = "graft_bpe_pairs"
+}
+
+/** One BPE merge-rule application over a symbol array (see
+  * `TextKernels.bpeMerge`); the (left, right) pair is a plan-time
+  * constant — the round's learned merge.
+  */
+case class BpeMerge(child: Expression, l: String, r: String)
+    extends UnaryExpression {
+  private lazy val lU = org.apache.spark.unsafe.types.UTF8String.fromString(l)
+  private lazy val rU = org.apache.spark.unsafe.types.UTF8String.fromString(r)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${t.sql}")
+  }
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.bpeMerge(input.asInstanceOf[ArrayData], lU, rU)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lRef = ctx.addReferenceObj("bpeLeft", lU,
+      "org.apache.spark.unsafe.types.UTF8String")
+    val rRef = ctx.addReferenceObj("bpeRight", rU,
+      "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.TextKernels.bpeMerge($c, $lRef, $rRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeMerge =
+    copy(child = newChild)
+  override def prettyName: String = "graft_bpe_merge"
 }
 
 /** Fixed-64-byte chunk digests of a BINARY payload (see

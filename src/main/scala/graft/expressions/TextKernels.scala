@@ -431,6 +431,57 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Adjacent symbol pairs of a word's symbol array (BPE pair counting):
+    * one `struct<l, r>` per neighboring pair, document order. Mirrors
+    * `zip_with(slice(symbols,1,n-1), slice(symbols,2,n-1), struct)` —
+    * an interpreted two-slice lambda walk per word per merge round.
+    */
+  def bpePairs(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[AnyRef])
+    val out = new Array[AnyRef](n - 1)
+    var prev = toks.getUTF8String(0)
+    var i = 1
+    while (i < n) {
+      val cur = toks.getUTF8String(i)
+      out(i - 1) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](prev, cur))
+      prev = cur
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Left-to-right non-overlapping merge of adjacent (left, right) into
+    * the fused symbol (one BPE merge-rule application). Mirrors
+    * `BpeLearner.applyMerge`'s aggregate HOF: append each symbol unless
+    * it completes the pair with the output's tail, in which case the
+    * tail is replaced by the fusion; a just-fused tail (left+right)
+    * never re-matches `left`, so consuming two symbols and continuing
+    * is the identical greedy scan (BpeLearnerSpec pins the semantics
+    * against a driver-side reference loop).
+    */
+  def bpeMerge(toks: ArrayData, left: UTF8String, right: UTF8String): ArrayData = {
+    val n = toks.numElements()
+    val fused = UTF8String.concat(left, right)
+    val out = new Array[AnyRef](n)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val cur = toks.getUTF8String(i)
+      if (i + 1 < n && cur.equals(left) && toks.getUTF8String(i + 1).equals(right)) {
+        out(k) = fused
+        i += 2
+      } else {
+        out(k) = cur
+        i += 1
+      }
+      k += 1
+    }
+    new GenericArrayData(
+      if (k == n) out else java.util.Arrays.copyOf(out, k))
+  }
+
   /** Fixed-64-byte chunk digests of a binary payload (mm5's storage-dedup
     * chunking): one `struct<h: md5-hex, sz: bytes>` per chunk, the last
     * chunk keeping the remainder. Mirrors the HOF form

@@ -29,9 +29,13 @@ object BpeLearner {
     * each symbol unless it completes the pair with the accumulator's
     * tail, in which case the tail is replaced by the fusion. Non-
     * overlapping by construction (the fused tail no longer equals
-    * `left` unless fusion == left).
+    * `left` unless fusion == left). This HOF form is the executable
+    * SPEC for the `graft_bpe_merge` kernel (parity asserted in
+    * NativeTextExpressionsSpec); the learner runs the kernel — the
+    * aggregate evaluated an interpreted two-branch lambda per symbol
+    * per word per merge round.
     */
-  private def applyMerge(symbols: Column, left: String, right: String): Column = {
+  private[graft] def applyMergeHof(symbols: Column, left: String, right: String): Column = {
     val fused = left + right
     aggregate(
       symbols,
@@ -41,6 +45,17 @@ object BpeLearner {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(fused))))
           .otherwise(concat(acc, array(x))))
   }
+
+  private def applyMerge(symbols: Column, left: String, right: String): Column =
+    call_function("graft_bpe_merge", symbols, lit(left), lit(right))
+
+  /** HOF spec for the `graft_bpe_pairs` kernel: adjacent (l, r) symbol
+    * pairs via the two-slice zip.
+    */
+  private[graft] def pairsHof(symbols: Column): Column =
+    zip_with(slice(symbols, lit(1), size(symbols) - 1),
+      slice(symbols, lit(2), size(symbols) - 1),
+      (a, b) => struct(a.as("l"), b.as("r")))
 
   /** Word-vocab frame from a text column: (symbols: array<string>, cnt),
     * symbols = the word's characters. One shuffle, map-side combined.
@@ -59,10 +74,8 @@ object BpeLearner {
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (i <- 1 to nMerges) {
       val pairs = words
-        .select(col("cnt"), explode(
-          zip_with(slice(col("symbols"), lit(1), size(col("symbols")) - 1),
-            slice(col("symbols"), lit(2), size(col("symbols")) - 1),
-            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .select(col("cnt"),
+          explode(call_function("graft_bpe_pairs", col("symbols"))).as("p"))
         .groupBy(col("p.l"), col("p.r")).agg(sum(col("cnt")).as("n"))
       val top = pairs.orderBy(col("n").desc, col("l"), col("r")).limit(1).collect()
       if (top.isEmpty) return merges.result()

@@ -87,6 +87,24 @@ class NativeTextExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("graft_bpe_pairs / graft_bpe_merge match the BpeLearner HOF specs") {
+    val words = Seq("aaa", "banana", "ab", "a", "", "aabab", "xyxyxy")
+      .toDF("w").select(split(col("w"), "").as("symbols"))
+    val pairSpec = words.select(graft.functions.BpeLearner
+      .pairsHof(col("symbols"))).as[Seq[(String, String)]].collect()
+    val pairGot = words.select(call_function("graft_bpe_pairs", col("symbols")))
+      .as[Seq[(String, String)]].collect()
+    assert(pairGot.toSeq == pairSpec.toSeq)
+    Seq(("a", "a"), ("a", "b"), ("b", "a"), ("x", "y")).foreach { case (l, r) =>
+      val mSpec = words.select(graft.functions.BpeLearner
+        .applyMergeHof(col("symbols"), l, r)).as[Seq[String]].collect()
+      val mGot = words.select(
+        call_function("graft_bpe_merge", col("symbols"), lit(l), lit(r)))
+        .as[Seq[String]].collect()
+      assert(mGot.toSeq == mSpec.toSeq, s"merge ($l,$r)")
+    }
+  }
+
   test("graft_chunk_hashes matches per-chunk md5(substring) HOF incl. remainder") {
     val payloads = Seq(0L, 1L, 42L, 97L).toDF("id")
       .select(col("id"), graft.multimodal.MediaPipeline
