@@ -31,6 +31,27 @@ trait NativeTextExpression extends UnaryExpression {
     defineCodeGen(ctx, ev, kernelCall)
 }
 
+object NativeTextExpression {
+  /** Array-input kernels (BpePairs/BpeMerge/WindowHashes) fold element
+    * bytes directly and declare containsNull=false outputs, so a null
+    * ELEMENT would NPE mid-kernel where the HOF specs they replace would
+    * have propagated the null (ADVICE r15). Today's producers (`split`,
+    * `tokens()`, the kernels themselves) all declare containsNull=false;
+    * reject nullable-element arrays at analysis time so a future call
+    * site fails with a type error instead of a runtime NPE.
+    */
+  def requireNonNullStringArray(t: DataType, name: String): TypeCheckResult =
+    t match {
+      case ArrayType(StringType, false) => TypeCheckResult.TypeCheckSuccess
+      case ArrayType(StringType, true) => TypeCheckResult.TypeCheckFailure(
+        s"$name requires ARRAY<STRING> with non-nullable elements " +
+          "(the kernel folds element bytes; a null element would NPE) — " +
+          "filter or coalesce null elements before calling")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name requires ARRAY<STRING>, got ${other.sql}")
+    }
+}
+
 /** 60-bit SimHash of a document (see `DedupFunctions.simhashSql`). */
 case class Simhash60(child: Expression) extends NativeTextExpression {
   override def dataType: DataType = LongType
@@ -273,11 +294,8 @@ case class SynthPayload(left: Expression, right: Expression)
   * — BPE pair counting.
   */
 case class BpePairs(child: Expression) extends UnaryExpression {
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires ARRAY<STRING>, got ${t.sql}")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    NativeTextExpression.requireNonNullStringArray(child.dataType, prettyName)
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = ArrayType(
     StructType(Seq(
@@ -301,11 +319,8 @@ case class BpeMerge(child: Expression, l: String, r: String)
     extends UnaryExpression {
   private lazy val lU = org.apache.spark.unsafe.types.UTF8String.fromString(l)
   private lazy val rU = org.apache.spark.unsafe.types.UTF8String.fromString(r)
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires ARRAY<STRING>, got ${t.sql}")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    NativeTextExpression.requireNonNullStringArray(child.dataType, prettyName)
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
@@ -353,11 +368,8 @@ case class ChunkHashes(child: Expression) extends UnaryExpression {
   * constant.
   */
 case class WindowHashes(child: Expression, n: Int) extends UnaryExpression {
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires ARRAY<STRING>, got ${t.sql}")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    NativeTextExpression.requireNonNullStringArray(child.dataType, prettyName)
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =

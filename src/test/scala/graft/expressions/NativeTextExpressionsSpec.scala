@@ -105,6 +105,30 @@ class NativeTextExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("array-input kernels reject nullable-element arrays at analysis time") {
+    // ADVICE r15: the kernels fold element bytes and would NPE on a null
+    // element; the guard must fail ANALYSIS, not execution. split()/tokens()
+    // declare containsNull=false, so real callers are unaffected.
+    val nullable = Seq(Seq("a", "b")).toDF("symbols")
+      .select(col("symbols").cast("array<string>").as("symbols")) // containsNull=true
+    assert(nullable.schema("symbols").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull)
+    Seq(
+      call_function("graft_bpe_pairs", col("symbols")),
+      call_function("graft_bpe_merge", col("symbols"), lit("a"), lit("b")),
+      call_function("graft_window_hashes", col("symbols"), lit(2))
+    ).foreach { e =>
+      val err = intercept[org.apache.spark.sql.AnalysisException] {
+        nullable.select(e).collect()
+      }
+      assert(err.getMessage.contains("non-nullable elements"), err.getMessage)
+    }
+    // and the non-nullable form still passes analysis + runs
+    val ok = Seq("ab").toDF("w").select(split(col("w"), "").as("symbols"))
+    assert(ok.select(call_function("graft_bpe_pairs", col("symbols")))
+      .collect().length == 1)
+  }
+
   test("graft_chunk_hashes matches per-chunk md5(substring) HOF incl. remainder") {
     val payloads = Seq(0L, 1L, 42L, 97L).toDF("id")
       .select(col("id"), graft.multimodal.MediaPipeline
