@@ -70,7 +70,17 @@ object BpeLearner {
     * pair_count) with rank 1-based in learn order.
     */
   def learnMerges(docs: DataFrame, text: Column, nMerges: Int): Seq[(Int, String, String, Long)] = {
-    var words = vocab(docs, text).localCheckpoint(true)
+    // r16 (guide §1.2/§5): checkpoints are LAZY. Each round's argmax is
+    // the only action, and it is what materializes the previous round's
+    // merge rewrite into the block store as a side effect — so one job
+    // per merge round instead of two (the old eager form ran a dedicated
+    // materialization job per rewrite, and one for the vocab build:
+    // 2n+1 driver round-trips for n merges, halved to n+1 here). Every
+    // words_i is still computed exactly once (the lazy checkpoint caches
+    // its blocks at first use), lineage still truncates at each round,
+    // and the FINAL rewrite — which the old form materialized even
+    // though no consumer exists after the last argmax — is never run.
+    var words = vocab(docs, text).localCheckpoint(false)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (i <- 1 to nMerges) {
       val pairs = words
@@ -83,7 +93,7 @@ object BpeLearner {
       merges += ((i, l, r, n))
       words = words
         .select(applyMerge(col("symbols"), l, r).as("symbols"), col("cnt"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     merges.result()
   }

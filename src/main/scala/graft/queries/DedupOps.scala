@@ -816,13 +816,27 @@ object DedupOps {
             .select(col("doc_id"), h60(col("sp_s")).as("sp"))
         }
         val counts = spans.groupBy(col("sp")).agg(count(lit(1)).as("n"))
-        val dup = sum(when(col("n") > 1, 1L).otherwise(0L))
-        spans.join(counts, Seq("sp"))
-          .groupBy(col("doc_id"))
-          .agg(
-            count(lit(1)).as("n_spans"),
-            dup.as("n_dup_spans"),
-            permille(dup, count(lit(1))).as("dup_permille"))
+        // r16 shuffle diet (guide §2.3/§2.4, the r13 #7 carry): the old
+        // form joined the FULL counts table back onto every span instance
+        // (a second |spans|-sized exchange on sp) just to evaluate n > 1
+        // per instance. A span instance is duplicated iff its sp is in
+        // the duplicated-span SET, so: count per-doc spans straight off
+        // the doc-clustered family frame (map-combined, |docs|-sized
+        // exchange), semi-join only the duplication-bounded dup set
+        // (AQE broadcasts it when small; when it is not, the semi-join
+        // shuffles exactly what the old join shuffled — never more), and
+        // count the matches per doc (dup instances only, tiny). The
+        // |spans|→|spans| join-back exchange is gone at every scale.
+        val dupSet = counts.filter(col("n") > 1).select(col("sp"))
+        val nspans = spans.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_spans"))
+        val ndup = spans.join(dupSet, Seq("sp"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("nd"))
+        val d = coalesce(col("nd"), lit(0L))
+        nspans.join(ndup, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_spans"),
+            d.as("n_dup_spans"),
+            permille(d, col("n_spans")).as("dup_permille"))
       },
       Some("""WITH tok AS (
                 SELECT doc_id,

@@ -173,10 +173,25 @@ object GraphOps {
     // nothing ever needs the |edges| frame in sorted order and the build
     // skips a 1.17B-row external sort. At small sf the un-hinted planner
     // broadcasts the rank side, which needs no order either.
-    val adj = org.apache.spark.sql.GraftPartitionedCheckpoint(
-      edges.select(col("src"), col("dst")),
-      parts, Seq("src"), Nil, eager = diskBound, level,
-      dedupCols = if (dedupEdges) Seq("src", "dst") else Nil)
+    // r16 A/B knob (OPTIMIZATION_r15 "not yet optimized" #1):
+    // SPARK_GRAFT_G1_SMALL=reuse drops the small-sf block-store
+    // checkpoints and leaves the claimed-layout repartition IN the plan,
+    // so the three unrolled iterations share the adjacency exchange via
+    // ReuseExchange (shuffle files read 3x) instead of scanning
+    // checkpoint blocks. Trade: no block-store write/scan, but the
+    // dedup/outdeg aggregates ABOVE the reused exchange re-run once per
+    // consumer. Non-diskBound only — the sf100 regime keeps its eager
+    // DISK_ONLY checkpoints and reaper unconditionally.
+    val reuseSmall = !diskBound && sys.env.get("SPARK_GRAFT_G1_SMALL").contains("reuse")
+    val adj =
+      if (reuseSmall) {
+        val p = edges.select(col("src"), col("dst"))
+          .repartition(parts, col("src"))
+        if (dedupEdges) p.dropDuplicates("src", "dst") else p
+      } else org.apache.spark.sql.GraftPartitionedCheckpoint(
+        edges.select(col("src"), col("dst")),
+        parts, Seq("src"), Nil, eager = diskBound, level,
+        dedupCols = if (dedupEdges) Seq("src", "dst") else Nil)
     // the adjacency owns the edge data now — the caller's build shuffles
     // (orders⋈lineitem join, ~12 GB at sf100) and the repartition above
     // are dead; reclaim before the iterations write
@@ -186,10 +201,12 @@ object GraphOps {
     // (id, outdeg): one exchange-free pass over the src-partitioned
     // adjacency; |nodes|-sized, checkpointed because every iteration's
     // rank update re-reads it
-    val base = org.apache.spark.sql.GraftPartitionedCheckpoint(
-      adj.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-        .select(col("src").as("id"), col("outdeg")),
-      parts, Seq("id"), Nil, eager = diskBound, level)
+    val baseAgg = adj.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .select(col("src").as("id"), col("outdeg"))
+    val base =
+      if (reuseSmall) baseAgg
+      else org.apache.spark.sql.GraftPartitionedCheckpoint(
+        baseAgg, parts, Seq("id"), Nil, eager = diskBound, level)
     phase("base")
     val n = base.count()
     phase("count")
