@@ -350,7 +350,9 @@ case class ChunkHashes(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = ArrayType(
     StructType(Seq(
-      StructField("h", StringType, nullable = false),
+      // raw md5 digest (r16): chunk id is a pure grouping key — 16-byte
+      // binary instead of the 32-char hex string (see chunkHashes)
+      StructField("h", org.apache.spark.sql.types.BinaryType, nullable = false),
       StructField("sz", LongType, nullable = false))),
     containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
@@ -371,7 +373,10 @@ case class WindowHashes(child: Expression, n: Int) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     NativeTextExpression.requireNonNullStringArray(child.dataType, prettyName)
   override def nullIntolerant: Boolean = true
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // raw md5 digests (r16): the signature is key-only downstream, so the
+  // 16-byte binary form halves key bytes vs the 32-char hex string
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.BinaryType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
     TextKernels.windowHashes(
       input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)

@@ -406,7 +406,13 @@ object TextKernels {
       i += 1
     }
     val md = digests.get()
-    val alphabet = "0123456789abcdef"
+    // r16 (guide §2.3, narrower types): emit the RAW 16-byte digest, not
+    // its 32-char hex string. The signature is a join/group KEY that
+    // never reaches any query output (t19 drops it after the rep join),
+    // and digest bytes <-> hex is a bijection, so every downstream
+    // count/join/set is value-identical while the |windows|-sized
+    // count shuffle carries half the key bytes and the kernel skips a
+    // 32-byte alloc + hex-encode loop per window (~ per token).
     val out = new Array[AnyRef](len - n + 1)
     var k = 0
     while (k < out.length) {
@@ -417,15 +423,7 @@ object TextKernels {
         md.update(words(j))
         j += 1
       }
-      val d = md.digest()
-      val hex = new Array[Byte](32)
-      var b = 0
-      while (b < 16) {
-        hex(2 * b) = alphabet.charAt((d(b) >> 4) & 0xf).toByte
-        hex(2 * b + 1) = alphabet.charAt(d(b) & 0xf).toByte
-        b += 1
-      }
-      out(k) = UTF8String.fromBytes(hex)
+      out(k) = md.digest()
       k += 1
     }
     new GenericArrayData(out)
@@ -495,7 +493,10 @@ object TextKernels {
     if (nb == 0) return new GenericArrayData(Array.empty[AnyRef])
     val nChunks = (nb + 63) / 64
     val md = digests.get()
-    val alphabet = "0123456789abcdef"
+    // r16: raw digest bytes, not hex — the chunk id is a pure grouping
+    // key (mm5 reduces to a one-row ledger), so the only data-sized
+    // shuffle carries 16-byte keys instead of 32-char strings and the
+    // per-chunk hex encode disappears. Bijective: dedup counts unchanged.
     val out = new Array[AnyRef](nChunks)
     var ci = 0
     while (ci < nChunks) {
@@ -503,16 +504,8 @@ object TextKernels {
       val sz = math.min(64, nb - off)
       md.reset()
       md.update(payload, off, sz)
-      val d = md.digest()
-      val hex = new Array[Byte](32)
-      var b = 0
-      while (b < 16) {
-        hex(2 * b) = alphabet.charAt((d(b) >> 4) & 0xf).toByte
-        hex(2 * b + 1) = alphabet.charAt(d(b) & 0xf).toByte
-        b += 1
-      }
       out(ci) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        Array[Any](UTF8String.fromBytes(hex), sz.toLong))
+        Array[Any](md.digest(), sz.toLong))
       ci += 1
     }
     new GenericArrayData(out)

@@ -315,7 +315,14 @@ object JoinAggOps {
             approx_percentile(col("o_custkey"), lit(0.5), lit(10000)).as("ap50"),
             percentile(col("o_custkey"), lit(0.48)).as("lo"),
             percentile(col("o_custkey"), lit(0.52)).as("hi"))
-        cards.join(broadcast(pcts), Seq("o_orderstatus"))
+        // null-safe join key (ADVICE r15): both aggregates emit a NULL
+        // group if o_orderstatus is ever null; a null-unsafe inner join
+        // would silently drop that group while the pre-split fused
+        // aggregate emitted it. TPC-H never nulls o_orderstatus, so the
+        // outputs are unchanged — this keeps the split's "bit-identical
+        // under ANY input" claim true instead of data-dependent.
+        cards.join(broadcast(pcts.withColumnRenamed("o_orderstatus", "__os")),
+            col("o_orderstatus") <=> col("__os"))
           .select(
             col("o_orderstatus"), col("n"), col("exact_custs"),
             (abs(col("hll_custs") - col("exact_custs"))

@@ -72,18 +72,26 @@ class NativeTextExpressionsSpec extends SparkTestBase {
   }
 
   test("graft_window_hashes matches per-window md5(array_join(slice)) HOF") {
+    // the kernel emits RAW digest bytes (r16); the HOF spec's hex strings
+    // are compared through unhex — the bijection the narrowing relies on
     Seq(2, 16).foreach { n =>
       val w = tokens(col("text"))
       val spec = docs.select(
         when(size(w) >= n,
           transform(sequence(lit(0), size(w) - n),
-            k => md5(array_join(slice(w, k + 1, lit(n)), " "))))
-          .otherwise(typedlit(Seq.empty[String])))
-        .as[Seq[String]].collect()
+            k => unhex(md5(array_join(slice(w, k + 1, lit(n)), " ")))))
+          .otherwise(typedlit(Seq.empty[Array[Byte]])))
+        .as[Seq[Array[Byte]]].collect()
       val got = docs.select(
         call_function("graft_window_hashes", tokens(col("text")), lit(n)))
-        .as[Seq[String]].collect()
-      assert(got.toSeq == spec.toSeq, s"n=$n")
+        .as[Seq[Array[Byte]]].collect()
+      assert(got.length == spec.length, s"n=$n")
+      got.zip(spec).zipWithIndex.foreach { case ((g, sp), i) =>
+        assert(g.length == sp.length, s"n=$n doc=$i")
+        g.zip(sp).foreach { case (gb, sb) =>
+          assert(java.util.Arrays.equals(gb, sb), s"n=$n doc=$i")
+        }
+      }
     }
   }
 
@@ -135,6 +143,8 @@ class NativeTextExpressionsSpec extends SparkTestBase {
         .syntheticPayload(col("id"), (col("id") % 5 + 1).cast("int") * 3).as("p"))
       .union(Seq(5L).toDF("id").select(col("id"), lit(Array.empty[Byte]).as("p")))
     val nb = length(col("p")).cast("long")
+    // kernel emits raw digest bytes (r16) — hex() the binary h back up to
+    // compare against the md5-hex HOF spec (hex() uppercases; lower())
     val spec = payloads.select(
       when(nb === 0,
           typedlit(Seq.empty[(String, Long)]).cast("array<struct<h:string,sz:bigint>>"))
@@ -145,7 +155,9 @@ class NativeTextExpressionsSpec extends SparkTestBase {
             least(lit(64L), nb - ci * 64L).as("sz")))
           .cast("array<struct<h:string,sz:bigint>>")))
       .as[Seq[(String, Long)]].collect()
-    val got = payloads.select(call_function("graft_chunk_hashes", col("p")))
+    val got = payloads.select(
+      transform(call_function("graft_chunk_hashes", col("p")),
+        c => struct(lower(hex(c.getField("h"))).as("h"), c.getField("sz").as("sz"))))
       .as[Seq[(String, Long)]].collect()
     assert(got.toSeq == spec.toSeq)
   }
